@@ -1,0 +1,135 @@
+"""Differentiable bilinear grid sampling + affine grid generation.
+
+Torch-semantics sampling ops the spatial-alignment path is built on
+(reference call sites: cross.py:23-38 STN warp, augment.py:36-61 synthetic
+misalignment, eval.py:15-27 scaled deformation):
+
+  * affine_grid(theta, size, align_corners=False): normalized sampling grid
+    [N, H, W, 2] with grid[..., 0] = x (width axis), grid[..., 1] = y.
+  * grid_sample(input, grid, padding_mode='zeros'|'reflection'|'border',
+    align_corners=False): bilinear sampling; out-of-bounds reads are zero
+    (zeros), edge-clamped (border) or edge-reflected (reflection).
+
+Everything is pure jnp: gradients flow to BOTH the image and the grid via
+autodiff (the registration training signal requires d(warp)/d(grid)).
+Gathers lower to XLA gather ops; a fused Pallas TPU kernel for the
+[N,C,320,320] hot path lives in ops/pallas/ (same API, same semantics).
+"""
+
+import jax.numpy as jnp
+
+
+def _base_coords_1d(n: int, dtype):
+    """Normalized coords of pixel centers with align_corners=False:
+    x_i = (2i + 1)/n - 1."""
+    i = jnp.arange(n, dtype=dtype)
+    return (2.0 * i + 1.0) / n - 1.0
+
+
+def affine_grid(theta: jnp.ndarray, size, align_corners: bool = False) -> jnp.ndarray:
+    """theta: [N, 2, 3]; size: (N, C, H, W) -> grid [N, H, W, 2]."""
+    assert not align_corners, "only align_corners=False is supported"
+    n, _, h, w = size
+    dtype = theta.dtype
+    xs = _base_coords_1d(w, dtype)  # [W]
+    ys = _base_coords_1d(h, dtype)  # [H]
+    base = jnp.stack(
+        [
+            jnp.broadcast_to(xs[None, :], (h, w)),
+            jnp.broadcast_to(ys[:, None], (h, w)),
+            jnp.ones((h, w), dtype),
+        ],
+        axis=-1,
+    )  # [H, W, 3]
+    # grid[n,h,w,k] = sum_j theta[n,k,j] * base[h,w,j]
+    grid = jnp.einsum("nkj,hwj->nhwk", theta, base)
+    if n > 1 and grid.shape[0] == 1:
+        grid = jnp.broadcast_to(grid, (n, h, w, 2))
+    return grid
+
+
+def identity_grid(size, dtype=jnp.float32) -> jnp.ndarray:
+    """Identity affine grid for (N, C, H, W) (cross.py:24-26 equivalent)."""
+    theta = jnp.array([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], dtype=dtype)
+    return affine_grid(theta, (1, *size[1:]))
+
+
+def _reflect(x, size):
+    """Reflect coordinate about pixel-edge boundaries [-0.5, size-0.5]
+    (align_corners=False), then clamp into [0, size-1]."""
+    low = -0.5
+    span = float(size)
+    t = jnp.abs(x - low)
+    extra = jnp.mod(t, span)
+    flips = jnp.floor(t / span)
+    out = jnp.where(jnp.mod(flips, 2.0) == 0.0, extra + low, span - extra + low)
+    return jnp.clip(out, 0.0, size - 1.0)
+
+
+def grid_sample(
+    input: jnp.ndarray,
+    grid: jnp.ndarray,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Bilinear sample `input` [N,C,H,W] at `grid` [N,Hg,Wg,2] -> [N,C,Hg,Wg].
+
+    grid[..., 0] is x in [-1,1] over the W axis, grid[..., 1] is y over H.
+    """
+    assert not align_corners, "only align_corners=False is supported"
+    assert input.ndim == 4 and grid.ndim == 4 and grid.shape[-1] == 2
+    n, c, h, w = input.shape
+    dtype = input.dtype
+
+    x = grid[..., 0].astype(dtype)
+    y = grid[..., 1].astype(dtype)
+    # unnormalize (align_corners=False): pixel = ((coord + 1) * size - 1) / 2
+    ix = ((x + 1.0) * w - 1.0) / 2.0
+    iy = ((y + 1.0) * h - 1.0) / 2.0
+
+    if padding_mode == "reflection":
+        ix = _reflect(ix, w)
+        iy = _reflect(iy, h)
+    elif padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, w - 1.0)
+        iy = jnp.clip(iy, 0.0, h - 1.0)
+    elif padding_mode != "zeros":
+        raise ValueError(f"unknown padding_mode: {padding_mode!r}")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    wx = ix - x0
+    wy = iy - y0
+
+    out = None
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xc = x0 + dx
+        yc = y0 + dy
+        weight = (wx if dx else (1.0 - wx)) * (wy if dy else (1.0 - wy))
+        if padding_mode == "zeros":
+            valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+            weight = weight * valid.astype(dtype)
+        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
+        flat_idx = yi * w + xi  # [N, Hg, Wg]
+        # gather per batch element across all channels at once
+        vals = jnp.take_along_axis(
+            input.reshape(n, c, h * w),
+            flat_idx.reshape(n, 1, -1),
+            axis=2,
+        ).reshape(n, c, *flat_idx.shape[1:])
+        term = vals * weight[:, None, :, :]
+        out = term if out is None else out + term
+    return out
+
+
+def warp(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros") -> jnp.ndarray:
+    """Warp an image (real or complex) by a sampling grid.
+
+    Complex images are warped as real+imag separately (augment.py:62-64).
+    """
+    if jnp.iscomplexobj(img):
+        return grid_sample(img.real, grid, padding_mode) + 1j * grid_sample(
+            img.imag, grid, padding_mode
+        )
+    return grid_sample(img, grid, padding_mode)
