@@ -1,0 +1,92 @@
+"""Host-side batching loader with threaded prefetch.
+
+The reference uses torch DataLoader worker processes (train.py:155-160);
+h5py slice reads are IO-bound and release the GIL, so a thread pool feeding
+a small prefetch queue keeps the accelerator busy without process-fork
+overhead. Batches are stacked numpy arrays ready for device transfer; the
+jitted step does all math on device.
+"""
+
+import threading
+import queue
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+class Prefetch:
+    """Materialize an entire dataset into RAM (reference train.py:24-33)."""
+
+    def __init__(self, dataset, workers=8):
+        with ThreadPoolExecutor(workers) as ex:
+            self.items = list(ex.map(lambda i: dataset[i], range(len(dataset))))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, ind):
+        return self.items[ind]
+
+
+class Loader:
+    """Iterate batches of stacked modality lists.
+
+    Each dataset item is a list [target, aux, ...] of [C, H, W] arrays;
+    a batch is a list of [N, C, H, W] stacked arrays (one per modality).
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
+                 num_workers=4, prefetch_batches=2, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = prefetch_batches
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+
+    def _fetch(self, indices):
+        items = [self.dataset[int(i)] for i in indices]
+        n_mod = len(items[0])
+        return [np.stack([it[m] for it in items], axis=0) for m in range(n_mod)]
+
+    def __iter__(self):
+        q = queue.Queue(maxsize=self.prefetch_batches)
+        stop = object()
+
+        def producer():
+            # keep a bounded window of in-flight fetches so memory stays
+            # O(workers + prefetch) batches
+            from collections import deque
+
+            window = deque()
+            with ThreadPoolExecutor(self.num_workers) as ex:
+                for idx in self._batches():
+                    window.append(ex.submit(self._fetch, idx))
+                    while len(window) >= self.num_workers:
+                        q.put(window.popleft().result())
+                while window:
+                    q.put(window.popleft().result())
+            q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

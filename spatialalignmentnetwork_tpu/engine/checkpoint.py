@@ -1,0 +1,80 @@
+"""Directory-per-checkpoint persistence.
+
+Format-compatible with the reference layout (basemodel.py:43-55): a
+checkpoint is a DIRECTORY containing one flat npz file per network (named
+after the network, e.g. `net_R`) plus a JSON `config`. This enables
+object-level deduplication between checkpoints and the staged training
+protocol's partial warm-starting (`--load_nets`).
+
+Network entries are flat dicts mapping '/'-joined pytree paths to numpy
+arrays; `flatten_tree`/`unflatten_tree` convert to/from nested param trees.
+Optimizer state is deliberately NOT checkpointed (parity with the reference,
+basemodel.py:149-152): resume restarts optimizer moments.
+"""
+
+import os
+
+import numpy as np
+import jax
+
+from .config import Config
+
+
+def flatten_tree(tree, prefix="") -> dict:
+    """Nested dict pytree -> {'a/b/c': np.ndarray}."""
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: dict) -> dict:
+    out = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = val
+    return out
+
+
+def ckpt_save(ckpt: dict, folder: str):
+    """ckpt: {'net_X': nested tree or flat dict, ..., 'config': Config}."""
+    assert isinstance(ckpt, dict)
+    assert not os.path.exists(folder), folder + " already exists"
+    os.makedirs(folder)
+    for key, val in ckpt.items():
+        path = os.path.join(folder, key)
+        if key == "config":
+            val.save(path)
+        else:
+            flat = val if _is_flat(val) else flatten_tree(val)
+            with open(path, "wb") as f:
+                np.savez(f, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def _is_flat(d):
+    return isinstance(d, dict) and all(
+        not isinstance(v, dict) for v in d.values()
+    )
+
+
+def ckpt_load(folder: str) -> dict:
+    """Load a checkpoint directory -> {'net_X': flat dict, 'config': Config}.
+
+    Also reads npz entries written by other tools (e.g. converted reference
+    checkpoints) — any flat mapping of names to arrays works.
+    """
+    ckpt = {}
+    for key in os.listdir(folder):
+        path = os.path.join(folder, key)
+        if key == "config":
+            ckpt[key] = Config().load(path)
+        else:
+            with np.load(path, allow_pickle=False) as z:
+                ckpt[key] = {k: z[k] for k in z.files}
+    return ckpt

@@ -1,0 +1,548 @@
+"""CSModel: the 5-network compressed-sensing + alignment orchestrator.
+
+TPU-native re-design of the reference facade (model.py:39-321). Instead of
+reflection over mutable attributes, the model state is an explicit pytree
+
+    state = {
+      'params': {net_G, net_D, net_T, net_R, net_mask},
+      'stats':  {net_G, net_D, net_T},          # BatchNorm/SpectralNorm state
+      'opt':    {net_G, net_D, net_T, net_R, net_mask},
+      'pruned': bool[W],                         # k-space line mask
+    }
+
+and each training regime (`reg` in {None, Rec, Mixed, GAN-Only},
+model.py:193-259) is ONE jitted pure function
+
+    state, aux = step(state, img_full, img_aux)
+
+that computes the regime's losses, takes every optimizer step on-device
+(including the second GAN discriminator pass on detached fakes,
+model.py:234-239), and returns an aux dict whose `loss_*`/`img_*`/`metric_*`
+keys drive visualisation — the explicit-output equivalent of the reference's
+get_vis attribute harvesting (model.py:292-321).
+
+Semantics preserved from the reference:
+  * set_input: k-space undersampling with the pruned mask outside the
+    gradient path (model.py:110-121).
+  * forwardT/G/R/D composition per regime, including which nets receive
+    gradients, the batch-halving synthesis/warp crossover in forwardG
+    (model.py:125-136), and the D update on detached fake/real.
+  * BatchNorm running stats and spectral-norm power iteration update on
+    every training-mode forward, in reference call order.
+  * Loss weights sim/smooth/gan/gan_sim from cfg (model.py:140-190).
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops.fft import fft2, ifft2, rss, fftshift2
+from ..ops import masks as masks_lib
+from ..ops.ssim import ssimloss
+from ..models.varnet import VarNet
+from ..models.stn import SpatialTransformer, warp, gradient_loss
+from ..models.gan import NetG, NetD, loss_gan
+from ..utils import metrics
+from .config import Config
+from .checkpoint import ckpt_save, ckpt_load, flatten_tree, unflatten_tree
+
+NET_NAMES = ("net_mask", "net_G", "net_D", "net_T", "net_R")
+
+
+class CSModel:
+    """Facade owning the 5 networks + optimizers + jitted step functions."""
+
+    def __init__(self, cfg=None, ckpt=None, objects=None, seed=0):
+        self.seed = seed
+        if ckpt is not None:
+            self.load(ckpt=ckpt, cfg=cfg, objects=objects)
+        else:
+            self.build(cfg)
+        self.training = True
+        self._aux = {}
+        self._batch = None
+        self._step_cache = {}
+
+    # ------------------------------------------------------------------ build
+    def build(self, cfg):
+        assert cfg is not None
+        self.cfg = cfg
+        coils = cfg.coils
+        shape = cfg.shape
+        use_amp = bool(cfg.get("use_amp", False))
+        self.dtype = jnp.bfloat16 if use_amp else jnp.float32
+
+        # network definitions (architecture config: model.py:53-71);
+        # cfg.net_* overrides exist for tests/experiments, defaults are the
+        # reference architecture.
+        g_layers = tuple(cfg.get("net_G_layers", (64, 128, 256, 512, 512)))
+        d_blocks = tuple(
+            tuple(b) for b in cfg.get(
+                "net_D_blocks",
+                ((64,) * 2, (128,) * 2, (256,) * 2, (256,) * 2, (256,) * 2),
+            )
+        )
+        t_layers = tuple(cfg.get("net_T_layers", (32, 64, 64, 64, 64)))
+        self.net_G = NetG(out_chans=1, layers=g_layers, dtype=self.dtype)
+        self.net_D = NetD(blocks=d_blocks, dtype=self.dtype)
+        self.net_T = SpatialTransformer(
+            channels=coils, feat=t_layers[0], layers=t_layers, dtype=self.dtype
+        )
+        self.net_R = VarNet(
+            num_cascades=cfg.get("net_R_cascades", 8),
+            sens_chans=cfg.get("net_R_sens_chans", 8),
+            sens_pools=cfg.get("net_R_sens_pools", 4),
+            chans=cfg.get("net_R_chans", 18),
+            pools=cfg.get("net_R_pools", 4),
+            use_ref=True,
+            dtype=self.dtype,
+        )
+
+        self.mask = masks_lib.make_mask(
+            cfg.mask, shape, cfg.get("sparsity"), seed=self.seed
+        )
+
+        # parameter/stat initialization with dummy inputs
+        k = jax.random.PRNGKey(self.seed)
+        kG, kD, kT, kR = jax.random.split(k, 4)
+        img = jnp.zeros((2, coils, shape, shape), jnp.float32)
+        imgc = img.astype(jnp.complex64)
+        rss1 = jnp.zeros((2, 1, shape, shape), jnp.float32)
+        vG = self.net_G.init({"params": kG}, rss1, train=False)
+        vD = self.net_D.init(
+            {"params": kD}, jnp.concatenate([rss1, rss1], 1), train=False
+        )
+        vT = self.net_T.init({"params": kT}, img, img, train=False)
+        vR = self.net_R.init(
+            {"params": kR}, imgc, jnp.ones(shape, bool), img,
+            self.num_low_frequencies
+        )
+
+        params = {
+            "net_G": vG["params"],
+            "net_D": vD["params"],
+            "net_T": vT["params"],
+            "net_R": vR["params"],
+            "net_mask": (
+                {"weight": jnp.asarray(self.mask.weight)}
+                if self.mask.weight is not None
+                else {}
+            ),
+        }
+        stats = {
+            "net_G": vG.get("batch_stats", {}),
+            "net_D": vD.get("batch_stats", {}),
+            "net_T": vT.get("batch_stats", {}),
+        }
+
+        assert cfg.lr == 1e-4  # parity guard (model.py:52)
+        self.tx = {name: optax.adamw(cfg.lr, weight_decay=0.0) for name in NET_NAMES}
+        opt = {name: self.tx[name].init(params[name]) for name in NET_NAMES}
+
+        self.state = {
+            "params": params,
+            "stats": stats,
+            "opt": opt,
+            "pruned": jnp.asarray(self.mask.pruned),
+        }
+
+    # -------------------------------------------------------------- properties
+    @property
+    def num_low_frequencies(self) -> int:
+        # model.py:162
+        return int(self.cfg.shape * self.cfg.sparsity * 0.32)
+
+    def train(self, mode=True):
+        self.training = mode
+        return self
+
+    def eval(self):
+        return self.train(False)
+
+    def to(self, device=None):  # device residency is implicit in JAX
+        return self
+
+    # ---------------------------------------------------------------- forward
+    def _apply_T(self, params, stats, img_aux_abs, img_sampled_abs, train):
+        variables = {"params": params, "batch_stats": stats}
+        if train:
+            (offset, grid), upd = self.net_T.apply(
+                variables, img_aux_abs, img_sampled_abs, train=True,
+                mutable=["batch_stats"],
+            )
+            return offset, grid, upd["batch_stats"]
+        offset, grid = self.net_T.apply(
+            variables, img_aux_abs, img_sampled_abs, train=False
+        )
+        return offset, grid, stats
+
+    def _apply_G(self, params, stats, x, train):
+        variables = {"params": params, "batch_stats": stats}
+        if train:
+            out, upd = self.net_G.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return out, upd["batch_stats"]
+        return self.net_G.apply(variables, x, train=False), stats
+
+    def _apply_D(self, params, stats, x, train):
+        variables = {"params": params, "batch_stats": stats}
+        if train:
+            out, upd = self.net_D.apply(
+                variables, x, train=True, mutable=["batch_stats"]
+            )
+            return out, upd["batch_stats"]
+        return self.net_D.apply(variables, x, train=False), stats
+
+    def _forward_R(self, params_R, k_sampled, pruned, img_warped):
+        mask_bool = jnp.logical_not(pruned)[None, None, None, :]
+        return self.net_R.apply(
+            {"params": params_R}, k_sampled, mask_bool, img_warped,
+            self.num_low_frequencies,
+        )
+
+    def _prepare(self, img_full, img_aux, pruned):
+        """set_input equivalent (model.py:89-121)."""
+        img_k_full = fft2(img_full)
+        keep = 1.0 - pruned.astype(jnp.float32)
+        img_k_sampled = jax.lax.stop_gradient(
+            img_k_full * keep[None, None, None, :]
+        )
+        img_sampled = ifft2(img_k_sampled)
+        return {
+            "pruned": pruned,
+            "img_full": img_full,
+            "img_aux": img_aux,
+            "img_k_full": img_k_full,
+            "img_k_sampled": img_k_sampled,
+            "img_sampled": img_sampled,
+            "img_full_rss": rss(img_full),
+            "img_sampled_rss": rss(img_sampled),
+            "img_aux_rss": rss(img_aux),
+        }
+
+    def _forward_TGR(self, params, stats, env, train, with_G, with_R,
+                     stop_T=False):
+        """Compose forwardT [+G] [+R]; returns (losses, imgs, stats')."""
+        cfg = self.cfg
+        aux_abs = jnp.abs(env["img_aux"])
+        sampled_abs = jnp.abs(env["img_sampled"])
+        offset, grid, stats_T = self._apply_T(
+            params["net_T"], stats["net_T"], aux_abs, sampled_abs, train
+        )
+        if stop_T:
+            offset = jax.lax.stop_gradient(offset)
+            grid = jax.lax.stop_gradient(grid)
+        img_warped = warp(aux_abs, grid)
+        img_warped_rss = rss(img_warped)
+        losses = {"loss_smooth": gradient_loss(offset)}
+        imgs = {
+            "img_offset": offset,
+            "img_warped": img_warped,
+            "img_warped_rss": img_warped_rss,
+        }
+        stats = {**stats, "net_T": stats_T}
+
+        if with_G:
+            # forwardG (model.py:123-140): synthesis/warp commutativity
+            n = env["img_aux_rss"].shape[0]
+            n1 = (n + 1) // 2
+            aux_TR = env["img_aux_rss"][:n1]
+            aux_RT = env["img_aux_rss"][n1:]
+            T, stats_G = self._apply_G(
+                params["net_G"], stats["net_G"], aux_RT, train
+            )
+            warped_all = warp(jnp.concatenate([aux_TR, T], axis=0), grid)
+            R, RT = warped_all[:n1], warped_all[n1:]
+            TR, stats_G = self._apply_G(params["net_G"], stats_G, R, train)
+            img_synth = jnp.concatenate([R, T], axis=0)
+            img_aligned = jnp.concatenate([TR, RT], axis=0)
+            losses["loss_gan_sim"] = jnp.mean(
+                jnp.abs(img_aligned - env["img_full_rss"])
+            )
+            imgs["img_synth"] = img_synth
+            imgs["img_aligned"] = img_aligned
+            stats = {**stats, "net_G": stats_G}
+
+        if with_R:
+            img_rec = self._forward_R(
+                params["net_R"], env["img_k_sampled"], env["pruned"],
+                img_warped,
+            )
+            losses["loss_sim"] = ssimloss(env["img_full_rss"], img_rec)
+            imgs["img_rec"] = img_rec
+
+        return losses, imgs, stats
+
+    # ------------------------------------------------------------- train steps
+    def _make_train_step(self, regime):
+        cfg = self.cfg
+        w_sim = cfg.weight_sim
+        w_smooth = cfg.weight_smooth
+        w_gan = cfg.weight_gan
+        w_gan_sim = cfg.weight_gan_sim
+
+        with_G = regime in ("Mixed", "GAN-Only")
+        with_R = regime in ("None", "Rec", "Mixed")
+        grad_nets = {
+            "None": ("net_R",),
+            "Rec": ("net_T", "net_R"),
+            "Mixed": ("net_T", "net_G", "net_R"),
+            "GAN-Only": ("net_T", "net_G"),
+        }[regime]
+
+        def step(state, img_full, img_aux):
+            env = self._prepare(img_full, img_aux, state["pruned"])
+            params = state["params"]
+            stats = state["stats"]
+
+            def loss_fn(train_params):
+                p = {**params, **train_params}
+                losses, imgs, new_stats = self._forward_TGR(
+                    p, stats, env, train=True,
+                    with_G=with_G, with_R=with_R,
+                    stop_T=(regime == "None"),
+                )
+                total = 0.0
+                if with_R:
+                    total += losses["loss_sim"] * w_sim
+                if regime != "None":
+                    total += losses["loss_smooth"] * w_smooth
+                if with_G:
+                    total += losses["loss_gan_sim"] * w_gan_sim
+                    # generator adversarial term (forwardD, D_loss=False);
+                    # D params are constants here — grads flow THROUGH D
+                    fake = jnp.concatenate(
+                        [imgs["img_aligned"],
+                         jnp.zeros_like(imgs["img_aligned"])], axis=1
+                    )
+                    pred_fake, stats_D = self._apply_D(
+                        params["net_D"], new_stats["net_D"], fake, True,
+                    )
+                    losses["loss_gan_G"] = loss_gan(
+                        pred_fake, real=False, D_loss=False
+                    )
+                    total += losses["loss_gan_G"] * w_gan
+                    new_stats = {**new_stats, "net_D": stats_D}
+                losses["loss_all"] = total
+                return total, (losses, imgs, new_stats)
+
+            train_params = {k: params[k] for k in grad_nets}
+            grads, (losses, imgs, new_stats) = jax.grad(
+                loss_fn, has_aux=True
+            )(train_params)
+
+            new_params = dict(params)
+            new_opt = dict(state["opt"])
+            for name in grad_nets:
+                updates, new_opt[name] = self.tx[name].update(
+                    grads[name], state["opt"][name], params[name]
+                )
+                new_params[name] = optax.apply_updates(params[name], updates)
+
+            if with_G:
+                # second pass: discriminator update on detached fake/real
+                # (model.py:234-239)
+                fake = jax.lax.stop_gradient(
+                    jnp.concatenate(
+                        [imgs["img_aligned"],
+                         jnp.zeros_like(imgs["img_aligned"])], axis=1
+                    )
+                )
+                real = jax.lax.stop_gradient(
+                    jnp.concatenate(
+                        [env["img_full_rss"],
+                         jnp.zeros_like(env["img_full_rss"])], axis=1
+                    )
+                )
+
+                def loss_fn_D(pD):
+                    pred_fake, sD = self._apply_D(
+                        pD, new_stats["net_D"], fake, True
+                    )
+                    pred_real, sD = self._apply_D(pD, sD, real, True)
+                    lf = loss_gan(pred_fake, real=False, D_loss=True)
+                    lr = loss_gan(pred_real, real=True, D_loss=True)
+                    return (lf + lr) * w_gan, (lf, lr, sD)
+
+                gD, (lf, lr, sD) = jax.grad(loss_fn_D, has_aux=True)(
+                    params["net_D"]
+                )
+                updates, new_opt["net_D"] = self.tx["net_D"].update(
+                    gD, state["opt"]["net_D"], params["net_D"]
+                )
+                new_params["net_D"] = optax.apply_updates(
+                    params["net_D"], updates
+                )
+                new_stats = {**new_stats, "net_D": sD}
+                losses["loss_gan_Dfake"] = lf
+                losses["loss_gan_Dreal"] = lr
+
+            new_state = {
+                "params": new_params,
+                "stats": new_stats,
+                "opt": new_opt,
+                "pruned": state["pruned"],
+            }
+            aux = {**losses,
+                   "img_full_rss": env["img_full_rss"],
+                   "img_sampled_rss": env["img_sampled_rss"],
+                   "img_aux_rss": env["img_aux_rss"],
+                   **imgs}
+            return new_state, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _make_test_step(self):
+        def step(state, img_full, img_aux):
+            env = self._prepare(img_full, img_aux, state["pruned"])
+            losses, imgs, _ = self._forward_TGR(
+                state["params"], state["stats"], env, train=False,
+                with_G=True, with_R=True,
+            )
+            mask_vis = fftshift2(
+                jnp.broadcast_to(
+                    (1.0 - state["pruned"].astype(jnp.float32))[None, None, None, :],
+                    env["img_full_rss"].shape,
+                )
+            )
+            aux = {**losses,
+                   "img_full_rss": env["img_full_rss"],
+                   "img_sampled_rss": env["img_sampled_rss"],
+                   "img_aux_rss": env["img_aux_rss"],
+                   "img_mask": mask_vis,
+                   **imgs}
+            return aux
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- public API
+    def set_input(self, img_full, img_aux=None):
+        img_full = jnp.asarray(img_full)
+        if img_aux is None:
+            img_aux = jnp.zeros_like(img_full)
+        else:
+            img_aux = jnp.asarray(img_aux)
+        self._batch = (img_full, img_aux)
+
+    def update(self):
+        assert self.training
+        regime = self.cfg.reg
+        key = ("train", regime, self._batch[0].shape)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_train_step(regime)
+        self.state, aux = self._step_cache[key](self.state, *self._batch)
+        self._aux = aux
+
+    def test(self):
+        assert not self.training
+        key = ("test", self._batch[0].shape)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_test_step()
+        aux = self._step_cache[key](self.state, *self._batch)
+        # host-side eval metrics (model.py:275-279)
+        full = np.asarray(aux["img_full_rss"], dtype=np.float32)
+        rec = np.asarray(aux["img_rec"], dtype=np.float32)
+        warped = np.asarray(aux["img_warped_rss"], dtype=np.float32)
+        aux = dict(aux)
+        aux["metric_MI"] = metrics.mi(full, warped)
+        aux["metric_PSNR"] = metrics.psnr(full, rec)
+        aux["metric_SSIM"] = metrics.ssim(full, rec)
+        aux["metric_MAE"] = metrics.mae(full, rec)
+        aux["metric_MSE"] = metrics.mse(full, rec)
+        self._aux = aux
+        if self.cfg.reg == "GAN-Only":
+            return -aux["metric_MI"]
+        return -aux["metric_PSNR"]
+
+    def get_vis(self, content=None):
+        assert content in [None, "scalars", "histograms", "images"]
+        vis = {}
+        if content in ("scalars", None):
+            vis["scalars"] = {}
+            for k, v in self._aux.items():
+                if k.startswith("loss_"):
+                    vis["scalars"][k] = float(v)
+                elif k.startswith("metric_"):
+                    vis["scalars"][k] = float(v)
+        if content in ("images", None):
+            vis["images"] = {}
+            for k, v in self._aux.items():
+                if (
+                    k.startswith("img_")
+                    and hasattr(v, "ndim")
+                    and v.ndim == 4
+                    and v.shape[1] in (1, 3)
+                    and not jnp.iscomplexobj(v)
+                ):
+                    vis["images"][k] = np.asarray(v)
+        if content in ("histograms", None):
+            vis["histograms"] = {}
+            w = self.state["params"]["net_mask"].get("weight")
+            if w is not None:
+                vis["histograms"]["weights"] = {"values": np.asarray(w)}
+        return vis
+
+    # ------------------------------------------------------------- checkpoint
+    def save(self, path, objects=None):
+        names = objects if objects is not None else list(NET_NAMES)
+        ckpt = {}
+        for name in names:
+            entry = {"params": self.state["params"][name]}
+            if name in self.state["stats"]:
+                entry["stats"] = self.state["stats"][name]
+            if name == "net_mask":
+                entry["pruned"] = np.asarray(self.state["pruned"])
+            ckpt[name] = entry
+        ckpt["config"] = self.cfg
+        ckpt_save(ckpt, path)
+
+    def load(self, ckpt, cfg=None, objects=None):
+        loaded = ckpt_load(ckpt)
+        if cfg is None:
+            cfg = loaded.pop("config")
+        elif "config" in loaded:
+            loaded.pop("config")
+        self.build(cfg)
+        names = objects if objects is not None else [
+            k for k in loaded.keys() if k in NET_NAMES
+        ]
+        for name in names:
+            assert name in loaded, f"{name} not in checkpoint"
+            tree = unflatten_tree(loaded[name])
+            if "params" in tree:
+                self.state["params"][name] = self._merge_like(
+                    self.state["params"][name], tree["params"]
+                )
+            if "stats" in tree and name in self.state["stats"]:
+                self.state["stats"][name] = self._merge_like(
+                    self.state["stats"][name], tree["stats"]
+                )
+            if name == "net_mask" and "pruned" in tree:
+                self.state["pruned"] = jnp.asarray(
+                    np.asarray(tree["pruned"]).astype(bool)
+                )
+            # re-init this net's optimizer state on fresh params
+            self.state["opt"][name] = self.tx[name].init(
+                self.state["params"][name]
+            )
+
+    @staticmethod
+    def _merge_like(template, loaded):
+        """Map a loaded nested dict of arrays onto the template tree,
+        asserting matching structure/shapes."""
+        t_flat = flatten_tree(template)
+        l_flat = flatten_tree(loaded)
+        assert set(t_flat.keys()) == set(l_flat.keys()), (
+            "checkpoint/param tree mismatch: "
+            f"missing={sorted(set(t_flat) - set(l_flat))[:5]} "
+            f"extra={sorted(set(l_flat) - set(t_flat))[:5]}"
+        )
+        out = {
+            k: jnp.asarray(l_flat[k]).astype(t_flat[k].dtype)
+            for k in t_flat
+        }
+        return unflatten_tree(out)

@@ -1,0 +1,125 @@
+"""Evaluation CLI mirroring the reference eval.py.
+
+Loads a checkpoint (config restored from inside it), iterates volumes with
+the WHOLE volume as one batch (eval.py:54-56), optionally applies a scaled
+synthetic misalignment to the aux modality (`--aux_aug factor`,
+eval.py:15-27,44-61), computes PSNR/SSIM/MAE/MSE/MI per volume, dumps a
+metrics JSON, and optionally saves image/aux/sampled/warped/rec volumes plus
+the displacement grid (NIfTI when nibabel is available, .npy otherwise).
+"""
+
+import os
+import json
+import time
+import statistics
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.paired_dataset import get_paired_volume_datasets
+from ..data.augment import scaled_deformation
+from ..ops.crop import center_crop
+from .csmodel import CSModel
+
+
+def _save_volume(arr, path, affine):
+    """Save [S, H, W] (or [2, S, H, W] grid) as NIfTI if nibabel exists,
+    else .npy."""
+    try:
+        import nibabel as nib
+
+        nib.save(nib.Nifti1Image(np.asarray(arr).T, affine), path)
+    except ImportError:
+        np.save(path + ".npy", np.asarray(arr))
+
+
+def main(args):
+    affine = np.eye(4) * [0.7, -0.7, -5, 1]
+    print(args)
+
+    if os.path.isdir(args.resume) or os.path.isfile(args.resume):
+        net = CSModel(ckpt=args.resume)
+        print("load ckpt from:", args.resume)
+    else:
+        raise FileNotFoundError(args.resume)
+    cfg = net.cfg
+
+    crop = int(cfg.shape * 1.1) if args.aux_aug > 0 else cfg.shape
+    volumes = get_paired_volume_datasets(
+        args.val, crop=crop, protocals=args.protocals
+    )
+    net.eval()
+
+    rng = jax.random.PRNGKey(int(time.time()))
+    stat_eval = []
+    for i, volume in enumerate(volumes):
+        batch = [
+            jnp.asarray(np.stack(s, axis=0))
+            for s in zip(*[volume[j] for j in range(len(volume))])
+        ]
+        if args.aux_aug > 0:
+            img_full, img_aux = batch
+            rng, k = jax.random.split(rng)
+            img_aux = scaled_deformation(k, img_aux, args.aux_aug)
+            batch = [
+                center_crop(x, (cfg.shape, cfg.shape))
+                for x in (img_full, img_aux)
+            ]
+        net.set_input(*batch)
+        net.test()
+        vis = net.get_vis("scalars")
+        stat_eval.append(vis["scalars"])
+        print(f"volume {i}: " + str({k: round(v, 4) for k, v in vis["scalars"].items()}))
+        if args.save is None:
+            continue
+        aux = net._aux
+        grid = np.asarray(aux["img_offset"])  # [S, H, W, 2]
+        grid = np.stack(
+            [grid[..., 0], grid[..., 1], np.zeros_like(grid[..., 0])], axis=-1
+        ) * (cfg.shape - 1) / 2
+        grid = np.transpose(grid, (3, 0, 1, 2))[:, None]
+        _save_volume(grid, f"{args.save}/{i}_grid.nii", affine)
+        for name, key in (
+            ("image", "img_full_rss"),
+            ("aux", "img_aux_rss"),
+            ("sampled", "img_sampled_rss"),
+            ("warped", "img_warped_rss"),
+            ("rec", "img_rec"),
+        ):
+            vol = np.asarray(aux[key])[:, 0]  # [S, H, W]
+            _save_volume(vol, f"{args.save}/{i}_{name}.nii", affine)
+
+    if args.metric is not None:
+        with open(args.metric, "w") as f:
+            json.dump(stat_eval, f)
+    vis = {
+        key: statistics.mean([x[key] for x in stat_eval])
+        for key in stat_eval[0]
+    }
+    print(vis)
+    return vis
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="CS evaluation (TPU)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="checkpoint path")
+    parser.add_argument("--save", default=None, metavar="/path/to/save",
+                        type=str, help="path to save evaluated data")
+    parser.add_argument("--metric", default=None, metavar="/path/to/metric",
+                        type=str, help="path to save metrics JSON")
+    parser.add_argument("--val", metavar="/path/to/evaluation_data",
+                        required=True, type=str)
+    parser.add_argument("--crop", type=int, default=320)
+    parser.add_argument("--protocals", metavar="NAME", type=str, default=None,
+                        nargs="*")
+    parser.add_argument("--aux_aug", type=float, default=-1,
+                        help="scaled misalignment factor; -1 disables")
+    args = parser.parse_args()
+    return args
+
+
+if __name__ == "__main__":
+    main(build_parser())

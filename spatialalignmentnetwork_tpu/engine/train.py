@@ -1,0 +1,301 @@
+"""Training CLI mirroring the reference train.py flag surface.
+
+Flow (reference train.py:61-315): build Config from flags, construct/resume
+CSModel (with partial `--load_nets` warm-starting for the staged protocol),
+build paired-volume loaders (train crops to 1.1x then augments and
+center-crops back), run the epoch loop with per-iteration jitted train
+steps, TensorBoard scalars/histograms every 50 iters, image grids every
+100/1000, checkpoints every 1000/5000, per-epoch validation with
+best-checkpoint tracking and `--intel_stop` early stopping.
+
+TPU-native differences: augmentation + center-crop run on device inside a
+jitted preprocessing function; RNG is explicit; device transfer is a single
+host->HBM copy per batch.
+"""
+
+import os
+import sys
+import glob
+import time
+import shutil
+import statistics
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.paired_dataset import get_paired_volume_datasets, ConcatDataset
+from ..data.loader import Loader, Prefetch
+from ..data.augment import augment_batch
+from ..ops.crop import center_crop
+from ..utils.visualize import save_image
+from .config import Config
+from .csmodel import CSModel
+
+AUG_POLICIES = ("None", "Rigid", "BSpline", "PBSpline")
+
+
+def _preprocess(policy, shape):
+    """Jitted device-side augment + center-crop stage."""
+
+    @jax.jit
+    def run(batch, key):
+        batch = augment_batch(policy, list(batch), key)
+        return [center_crop(x, (shape, shape)) for x in batch]
+
+    return run
+
+
+def build_cfg(args) -> Config:
+    cfg = Config()
+    cfg.sparsity = args.sparsity
+    cfg.lr = args.lr
+    cfg.shape = args.crop
+    cfg.coils = args.coils
+    cfg.reg = args.reg
+    cfg.mask = args.mask
+    cfg.weight_smooth = args.smooth_weight
+    cfg.weight_gan = args.gan_weight
+    cfg.weight_gan_sim = args.gan_sim_weight
+    cfg.weight_sim = args.sim_weight
+    cfg.use_amp = args.use_amp
+    return cfg
+
+
+def main(args):
+    cfg = build_cfg(args)
+
+    print(args)
+    for path in [args.logdir, args.logdir + "/res", args.logdir + "/ckpt"]:
+        os.makedirs(path, exist_ok=True)
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(args.logdir)
+    except Exception as e:  # tensorboard optional
+        print("tensorboard unavailable:", e)
+        writer = None
+
+    print("loading model...")
+    iter_cnt = 0
+    ckpt = None
+    if args.resume is not None:
+        if args.resume == "":  # load latest
+            ckpts = sorted(
+                glob.glob(args.logdir + "/ckpt/ckpt_*.pt"),
+                key=os.path.getmtime,
+            )
+            if not ckpts:
+                raise FileNotFoundError("no available ckpt found")
+            ckpt = ckpts[-1]
+            iter_cnt = int(ckpt.split(".")[-2].split("_")[-1])
+            print("will load latest ckpt from:", ckpt, ", cnt:", iter_cnt)
+        else:
+            ckpt = args.resume
+            print("will load specified ckpt from:", ckpt)
+        net = CSModel(ckpt=ckpt, cfg=cfg, objects=args.load_nets)
+    else:
+        assert args.load_nets is None
+        print("training from scratch...")
+        net = CSModel(cfg=cfg)
+
+    print(net.cfg)
+    cfg = net.cfg
+
+    if writer is not None:
+        writer.add_text("date", repr(time.ctime()))
+        writer.add_text("working dir", repr(os.getcwd()))
+        writer.add_text("commands", repr(sys.argv))
+        writer.add_text("arguments", repr(args))
+        writer.add_text("actual config", repr(cfg))
+        writer.add_text("ckpt", repr(ckpt))
+
+    print("loading data...")
+    volumes_train = get_paired_volume_datasets(
+        args.train, crop=int(cfg.shape * 1.1), protocals=args.protocals
+    )
+    volumes_val = get_paired_volume_datasets(
+        args.val, crop=cfg.shape, protocals=args.protocals
+    )
+    slices_train = ConcatDataset(volumes_train)
+    slices_val = ConcatDataset(volumes_val)
+    if args.prefetch:
+        slices_train = Prefetch(slices_train)
+        slices_val = Prefetch(slices_val)
+    loader_train = Loader(
+        slices_train, args.batch_size, shuffle=True,
+        num_workers=args.num_workers, drop_last=True, seed=int(time.time()),
+    )
+    loader_val = Loader(
+        slices_val, args.batch_size, shuffle=False,
+        num_workers=args.num_workers, drop_last=True,
+    )
+
+    len_vis, col_vis = 16, 4
+    vis_rng = np.random.default_rng(19950102 + 666 + 233)
+    vis_idx = vis_rng.permutation(len(slices_val))[:len_vis]
+    vis_items = [slices_val[int(i)] for i in vis_idx]
+    batch_vis = [
+        jnp.asarray(np.stack([it[m] for it in vis_items], 0))
+        for m in range(len(vis_items[0]))
+    ]
+
+    preprocess = _preprocess(args.aux_aug, cfg.shape)
+    rng = jax.random.PRNGKey(int(time.time()))
+
+    print(
+        f"done, {len(slices_train)} / {len(volumes_train)} for training, "
+        f"{len(slices_val)} / {len(volumes_val)} for validation"
+    )
+
+    print("training...")
+    last_loss, last_ckpt, last_disp = 0, 0, 0
+    signal_end = False
+    iter_best = iter_cnt
+    loss_best = None
+
+    for num_epoch in range(args.epoch):
+        if signal_end:
+            break
+        ################### training ########################
+        for batch in loader_train:
+            if signal_end:
+                break
+            net.train()
+            iter_cnt += 1
+            rng, k = jax.random.split(rng)
+            batch_dev = preprocess([jnp.asarray(x) for x in batch], k)
+            net.set_input(*batch_dev)
+            net.update()
+
+            if iter_cnt % 50 == 0 and writer is not None:
+                last_loss = iter_cnt
+                vis = net.get_vis("scalars")
+                for name, val in vis["scalars"].items():
+                    writer.add_scalar("train/" + name, val, iter_cnt)
+                vis = net.get_vis("histograms")
+                for name, val in vis["histograms"].items():
+                    writer.add_histogram(
+                        tag="train/" + name, global_step=iter_cnt, **val
+                    )
+            if (iter_cnt % 1000 == 0) or (
+                (iter_cnt < 10000) and (iter_cnt % 100 == 0)
+            ):
+                last_disp = iter_cnt
+                net.eval()
+                net.set_input(*batch_vis)
+                net.test()
+                vis = net.get_vis("images")
+                for name, val in vis["images"].items():
+                    save_image(
+                        val,
+                        args.logdir + "/res/" + "%010d_" % iter_cnt + name + ".jpg",
+                        nrow=len_vis // col_vis, padding=10,
+                        value_range=(0, 1), pad_value=0.5,
+                    )
+            if (iter_cnt % 5000 == 0) or (
+                (iter_cnt < 10000) and (iter_cnt % 1000 == 0)
+            ):
+                last_ckpt = iter_cnt
+                net.save(args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt)
+            if iter_cnt % 50 == 0:
+                print(
+                    f"\r[{iter_cnt}/{last_loss}/{last_disp}/{last_ckpt}]",
+                    end="", flush=True,
+                )
+
+        ################### validation ########################
+        net.eval()
+        stat_eval, stat_loss = [], []
+        for batch in loader_val:
+            batch_dev = [jnp.asarray(x) for x in batch]
+            batch_dev = [center_crop(x, (cfg.shape, cfg.shape)) for x in batch_dev]
+            net.set_input(*batch_dev)
+            stat_loss.append(net.test())
+            vis = net.get_vis("scalars")
+            stat_eval.append(vis["scalars"])
+        if not stat_eval:
+            continue
+        vis = {
+            key: statistics.mean([x[key] for x in stat_eval])
+            for key in stat_eval[0]
+        }
+        if writer is not None:
+            for name, val in vis.items():
+                writer.add_scalar("val/" + name, val, iter_cnt)
+        loss_current = statistics.mean(stat_loss)
+        print(f"\nepoch {num_epoch}: val {vis}")
+        if args.intel_stop > 0:
+            if (loss_best is None) or (loss_current < loss_best):
+                loss_best = loss_current
+                iter_best = iter_cnt
+                best = args.logdir + "/ckpt/best.pt"
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                net.save(best)
+            elif iter_cnt >= args.intel_stop + iter_best:
+                signal_end = True
+                print("signal_end set due to intel_stop")
+
+    print("reached end of training loop, and signal_end is " + str(signal_end))
+    if writer is not None:
+        writer.flush()
+        writer.close()
+    final = args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt
+    if not os.path.exists(final):
+        net.save(final)
+    print("saved final ckpt:", final)
+
+
+def try_int(v):
+    try:
+        v = int(v)
+    except ValueError:
+        v = int(float(v))
+    assert v >= 0
+    return v
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="CS with adaptive mask (TPU)")
+    parser.add_argument("--logdir", metavar="logdir", type=str, required=True,
+                        help="path for storage and checkpoint")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="ckpt path; empty str loads the latest ckpt")
+    parser.add_argument("--load_nets", type=str, nargs="*", default=None,
+                        help="networks to load from the checkpoint")
+    parser.add_argument("--epoch", type=int, default=150)
+    parser.add_argument("--batch_size", type=int, default=10)
+    parser.add_argument("--num_workers", type=int, default=os.cpu_count())
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--intel_stop", type=try_int, default=0, metavar="N",
+                        help="stop after val loss stalls for N iters")
+    parser.add_argument("--reg", type=str, required=True,
+                        choices=["None", "Rec", "Mixed", "GAN-Only"])
+    parser.add_argument("--smooth_weight", type=float, required=True)
+    parser.add_argument("--gan_weight", type=float, required=True)
+    parser.add_argument("--gan_sim_weight", type=float, required=True)
+    parser.add_argument("--sim_weight", type=float, required=True)
+    parser.add_argument("--mask", metavar="type", required=True, type=str)
+    parser.add_argument("--sparsity", metavar="0-1", type=float, default=None)
+    parser.add_argument("--train", metavar="/path/to/training_data",
+                        required=True, type=str)
+    parser.add_argument("--val", metavar="/path/to/validation_data",
+                        required=True, type=str)
+    parser.add_argument("--crop", type=int, default=320)
+    parser.add_argument("--coils", type=int, default=1)
+    parser.add_argument("--protocals", metavar="NAME", type=str, default=None,
+                        nargs="*")
+    parser.add_argument("--aux_aug", type=str, required=True,
+                        choices=AUG_POLICIES)
+    parser.add_argument("--prefetch", action="store_true")
+    parser.add_argument("--use_amp", action="store_true")
+    parser.add_argument("--force_gpu", action="store_true",
+                        help="accepted for reference-CLI compatibility (no-op)")
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

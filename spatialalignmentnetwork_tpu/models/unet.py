@@ -1,0 +1,155 @@
+"""fastMRI-style U-Net and its complex-input Norm wrapper.
+
+TPU-native re-implementation of the recon backbone family (reference
+varnet.py:24-332): a 4-level encoder/decoder with avg-pool downsampling,
+transpose-conv upsampling and concat skips, plus `NormUnet` which adapts it
+to complex [N, C, H, W] inputs via real/imag channel stacking, two-group
+normalization, pad-to-multiple-of-16 and an optional instance-normalized
+reference-image channel (the spatial-alignment injection point,
+varnet.py:315-319).
+
+Modules run NHWC internally; `NormUnet` accepts the framework's NCHW complex
+convention at its boundary.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import (
+    ConvBlock,
+    TransposeConvBlock,
+    avg_pool2,
+    instance_norm,
+    nchw_to_nhwc,
+    nhwc_to_nchw,
+)
+
+
+class Unet(nn.Module):
+    """U-Net over real NHWC arrays (reference varnet.py:24-119).
+
+    Encoder: ConvBlock then 2x2 avg-pool per level; bottleneck ConvBlock;
+    decoder: TransposeConvBlock, reflect-pad to odd sizes, concat skip,
+    ConvBlock; final 1x1 conv.
+    """
+
+    out_chans: int
+    chans: int = 32
+    num_pool_layers: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        stack = []
+        ch = self.chans
+        # down-sampling path
+        chs = [ch * (2**i) for i in range(self.num_pool_layers)]
+        for c in chs:
+            x = ConvBlock(c, dtype=self.dtype)(x)
+            stack.append(x)
+            x = avg_pool2(x)
+        x = ConvBlock(chs[-1] * 2, dtype=self.dtype)(x)
+        # up-sampling path
+        for i, c in enumerate(reversed(chs)):
+            skip = stack.pop()
+            x = TransposeConvBlock(c, dtype=self.dtype)(x)
+            # reflect-pad right/bottom when the skip had an odd size
+            pad_w = skip.shape[2] - x.shape[2]
+            pad_h = skip.shape[1] - x.shape[1]
+            if pad_w or pad_h:
+                x = jnp.pad(
+                    x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
+                )
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(c, dtype=self.dtype)(x)
+        x = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(x)
+        return x
+
+
+def group_norm_2(x_nchw: jnp.ndarray, eps: float = 1e-6):
+    """Normalize an [N, C, H, W] real array in two groups (first/second half
+    of channels = real/imag parts), with unbiased std (varnet.py:257-268).
+
+    Returns (normalized, mean [N,2,1,1], std [N,2,1,1]).
+    """
+    b, c, h, w = x_nchw.shape
+    g = x_nchw.reshape(b, 2, (c // 2) * h * w)
+    mean = jnp.mean(g, axis=2)
+    n = g.shape[2]
+    var = jnp.var(g, axis=2) * (n / (n - 1))  # unbiased, matches torch.std
+    std = jnp.sqrt(var)
+    mean = mean.reshape(b, 2, 1, 1)
+    std = std.reshape(b, 2, 1, 1)
+    xn = (x_nchw.reshape(b, 2, c // 2, h, w) - mean[:, :, None]) / (
+        std[:, :, None] + eps
+    )
+    return xn.reshape(b, c, h, w), mean, std
+
+
+def pad_to_16(x_nchw: jnp.ndarray):
+    """Center-pad H and W up to the next multiple of 16 (varnet.py:275-289)."""
+    _, _, h, w = x_nchw.shape
+    w_mult = ((w - 1) | 15) + 1
+    h_mult = ((h - 1) | 15) + 1
+    w_pad = ((w_mult - w) // 2, (w_mult - w) - (w_mult - w) // 2)
+    h_pad = ((h_mult - h) // 2, (h_mult - h) - (h_mult - h) // 2)
+    x = jnp.pad(x_nchw, ((0, 0), (0, 0), h_pad, w_pad))
+    return x, (h_pad, w_pad, h_mult, w_mult)
+
+
+def unpad_16(x_nchw, h_pad, w_pad, h_mult, w_mult):
+    return x_nchw[..., h_pad[0] : h_mult - h_pad[1], w_pad[0] : w_mult - w_pad[1]]
+
+
+class NormUnet(nn.Module):
+    """U-Net wrapper for complex NCHW input (reference varnet.py:200-332).
+
+    complex -> [real; imag] channels -> 2-group norm -> pad to /16 ->
+    (optional ref channel, instance-normalized) -> Unet -> unpad -> unnorm ->
+    complex.
+    """
+
+    chans: int
+    num_pools: int
+    in_chans: int = 1
+    out_chans: int = 1
+    use_ref: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, ref: Optional[jnp.ndarray] = None):
+        assert x.ndim == 4 and jnp.iscomplexobj(x)
+        assert x.shape[1] == self.in_chans
+
+        x = jnp.concatenate([x.real, x.imag], axis=1)  # [N, 2*in, H, W]
+        x, mean, std = group_norm_2(x)
+        x, pad_sizes = pad_to_16(x)
+
+        if self.use_ref:
+            assert ref is not None and not jnp.iscomplexobj(ref)
+            ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
+            ref, _ = pad_to_16(ref)
+            x = jnp.concatenate([x, ref], axis=1)
+        else:
+            assert ref is None
+
+        x = nhwc_to_nchw(
+            Unet(
+                out_chans=self.out_chans * 2,
+                chans=self.chans,
+                num_pool_layers=self.num_pools,
+                dtype=self.dtype,
+            )(nchw_to_nhwc(x))
+        )
+
+        x = unpad_16(x, *pad_sizes)
+        # unnorm with the 2-group stats
+        b, c, h, w = x.shape
+        x = x.reshape(b, 2, c // 2, h, w) * std[:, :, None] + mean[:, :, None]
+        x = x.reshape(b, c, h, w)
+        c = c // 2
+        out = x[:, :c] + 1j * x[:, c:]
+        assert out.shape[1] == self.out_chans
+        return out
