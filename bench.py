@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: reconstruction slices/sec/chip on the flagship VarNet.
+
+Measures the serving hot path (BASELINE.json north star): full-size
+ref-guided VarNet (8 cascades, sens_chans 8, chans 18, pools 4) recon of
+320x320 slices at 4x Cartesian undersampling on one chip. Prints ONE JSON
+line: {"metric", "value", "unit", "vs_baseline"} with vs_baseline relative
+to the 10,000 slices/sec/chip target.
+
+Methodology: all timed iterations run INSIDE one jitted lax.scan whose
+carry depends on each iteration's output (a serial chain XLA cannot elide
+or overlap), so host-side dispatch overhead and async-queue artifacts are
+amortized into a single dispatch + block. Per-iteration time = total / N.
+
+Usage: python bench.py [--batch N] [--iters N] [--dtype bf16|f32]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from spatialalignmentnetwork_tpu.models.varnet import VarNet
+    from spatialalignmentnetwork_tpu.ops.masks import make_mask
+
+    shape = 320
+    sparsity = 0.25
+    num_low = int(shape * sparsity * 0.32)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+
+    net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
+                 pools=4, use_ref=True, dtype=dtype)
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    k = jnp.asarray(
+        (rng.standard_normal((B, 1, shape, shape))
+         + 1j * rng.standard_normal((B, 1, shape, shape))).astype(np.complex64)
+    )
+    pruned = make_mask("equispaced", shape, sparsity, seed=0).pruned
+    mask = jnp.asarray(~pruned)
+    k = k * mask[None, None, None, :]
+    ref = jnp.asarray(
+        np.abs(rng.standard_normal((B, 1, shape, shape))).astype(np.float32)
+    )
+
+    params = net.init(jax.random.PRNGKey(0), k, mask, ref, num_low)
+
+    n_iters = args.iters
+
+    @jax.jit
+    def run_chain(params, k, mask, ref):
+        def body(carry, _):
+            out = net.apply(params, carry, mask, ref, num_low)
+            # serialize: next input depends (negligibly) on this output so
+            # XLA cannot drop, reorder, or overlap iterations
+            carry = carry + (1e-30 * jnp.mean(out)).astype(carry.dtype)
+            return carry, ()
+
+        carry, _ = jax.lax.scan(body, k, (), length=n_iters)
+        return carry
+
+    out = run_chain(params, k, mask, ref)
+    out.block_until_ready()  # warm compile
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        out = run_chain(params, k, mask, ref)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    slices_per_sec = B * n_iters / best
+    print(json.dumps({
+        "metric": "recon_slices_per_sec_per_chip_320x320_4x",
+        "value": round(slices_per_sec, 2),
+        "unit": "slices/s",
+        "vs_baseline": round(slices_per_sec / 10000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

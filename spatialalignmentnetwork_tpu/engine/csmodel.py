@@ -279,6 +279,20 @@ class CSModel:
 
     # ------------------------------------------------------------- train steps
     def _make_train_step(self, regime):
+        """Jitted train step; data-parallel over self.mesh when distributed."""
+        fn = self._make_train_step_fn(regime)
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel.mesh import dp_shardings
+
+            state_s, batch_s = dp_shardings(self.mesh, self.state)
+            return jax.jit(
+                fn,
+                in_shardings=(state_s, batch_s, batch_s),
+                donate_argnums=(0,),
+            )
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def _make_train_step_fn(self, regime):
         cfg = self.cfg
         w_sim = cfg.weight_sim
         w_smooth = cfg.weight_smooth
@@ -394,9 +408,18 @@ class CSModel:
                    **imgs}
             return new_state, aux
 
-        return jax.jit(step, donate_argnums=(0,))
+        return step
 
     def _make_test_step(self):
+        fn = self._make_test_step_fn()
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel.mesh import dp_shardings
+
+            state_s, batch_s = dp_shardings(self.mesh, self.state)
+            return jax.jit(fn, in_shardings=(state_s, batch_s, batch_s))
+        return jax.jit(fn)
+
+    def _make_test_step_fn(self):
         def step(state, img_full, img_aux):
             env = self._prepare(img_full, img_aux, state["pruned"])
             losses, imgs, _ = self._forward_TGR(
@@ -417,15 +440,30 @@ class CSModel:
                    **imgs}
             return aux
 
-        return jax.jit(step)
+        return step
 
     # ------------------------------------------------------------- public API
+    def distribute(self, mesh):
+        """Enable data parallelism over a jax.sharding.Mesh with axis 'data':
+        params/opt replicated, batch sharded over the leading axis; XLA's
+        SPMD partitioner inserts the gradient all-reduce over ICI."""
+        self.mesh = mesh
+        self._step_cache = {}
+        from ..parallel.mesh import replicate_state
+
+        self.state = replicate_state(mesh, self.state)
+        return self
+
     def set_input(self, img_full, img_aux=None):
         img_full = jnp.asarray(img_full)
         if img_aux is None:
             img_aux = jnp.zeros_like(img_full)
         else:
             img_aux = jnp.asarray(img_aux)
+        if getattr(self, "mesh", None) is not None:
+            from ..parallel.mesh import shard_batch
+
+            img_full, img_aux = shard_batch(self.mesh, (img_full, img_aux))
         self._batch = (img_full, img_aux)
 
     def update(self):
@@ -512,18 +550,26 @@ class CSModel:
         ]
         for name in names:
             assert name in loaded, f"{name} not in checkpoint"
-            tree = unflatten_tree(loaded[name])
-            if "params" in tree:
+            flat = loaded[name]  # flat {'params/...': arr, 'stats/...': arr}
+            params_flat = {
+                k[len("params/"):]: v for k, v in flat.items()
+                if k.startswith("params/")
+            }
+            stats_flat = {
+                k[len("stats/"):]: v for k, v in flat.items()
+                if k.startswith("stats/")
+            }
+            if params_flat:
                 self.state["params"][name] = self._merge_like(
-                    self.state["params"][name], tree["params"]
+                    self.state["params"][name], params_flat
                 )
-            if "stats" in tree and name in self.state["stats"]:
+            if stats_flat and name in self.state["stats"]:
                 self.state["stats"][name] = self._merge_like(
-                    self.state["stats"][name], tree["stats"]
+                    self.state["stats"][name], stats_flat
                 )
-            if name == "net_mask" and "pruned" in tree:
+            if name == "net_mask" and "pruned" in flat:
                 self.state["pruned"] = jnp.asarray(
-                    np.asarray(tree["pruned"]).astype(bool)
+                    np.asarray(flat["pruned"]).astype(bool)
                 )
             # re-init this net's optimizer state on fresh params
             self.state["opt"][name] = self.tx[name].init(
@@ -531,18 +577,25 @@ class CSModel:
             )
 
     @staticmethod
-    def _merge_like(template, loaded):
-        """Map a loaded nested dict of arrays onto the template tree,
-        asserting matching structure/shapes."""
+    def _merge_like(template, flat):
+        """Rebuild a tree with the TEMPLATE's nested structure from a flat
+        {joined/path: array} mapping. Walking the template (rather than
+        splitting keys on '/') is essential: flax SpectralNorm variable
+        names legitimately contain '/' (e.g. 'Conv_0/kernel/u'), so the
+        joined path string is ambiguous but the template structure is not.
+        """
         t_flat = flatten_tree(template)
-        l_flat = flatten_tree(loaded)
-        assert set(t_flat.keys()) == set(l_flat.keys()), (
+        extra = set(flat.keys()) - set(t_flat.keys())
+        missing = set(t_flat.keys()) - set(flat.keys())
+        assert not extra and not missing, (
             "checkpoint/param tree mismatch: "
-            f"missing={sorted(set(t_flat) - set(l_flat))[:5]} "
-            f"extra={sorted(set(l_flat) - set(t_flat))[:5]}"
+            f"missing={sorted(missing)[:5]} extra={sorted(extra)[:5]}"
         )
-        out = {
-            k: jnp.asarray(l_flat[k]).astype(t_flat[k].dtype)
-            for k in t_flat
-        }
-        return unflatten_tree(out)
+
+        def walk(node, prefix):
+            if isinstance(node, dict):
+                return {k: walk(v, f"{prefix}{k}/") for k, v in node.items()}
+            key = prefix[:-1]
+            return jnp.asarray(flat[key]).astype(node.dtype)
+
+        return walk(template, "")

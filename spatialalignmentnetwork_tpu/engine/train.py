@@ -60,6 +60,17 @@ def build_cfg(args) -> Config:
     cfg.weight_gan_sim = args.gan_sim_weight
     cfg.weight_sim = args.sim_weight
     cfg.use_amp = args.use_amp
+    if getattr(args, "net_scale", "full") == "tiny":
+        # reduced architecture for CI / smoke runs; persisted in the ckpt
+        # config so eval rebuilds the same scale
+        cfg.net_G_layers = (8, 16, 16)
+        cfg.net_D_blocks = ((8,) * 2, (16,) * 2)
+        cfg.net_T_layers = (8, 16, 16)
+        cfg.net_R_cascades = 2
+        cfg.net_R_chans = 4
+        cfg.net_R_sens_chans = 4
+        cfg.net_R_pools = 2
+        cfg.net_R_sens_pools = 2
     return cfg
 
 
@@ -294,6 +305,9 @@ def build_parser():
     parser.add_argument("--use_amp", action="store_true")
     parser.add_argument("--force_gpu", action="store_true",
                         help="accepted for reference-CLI compatibility (no-op)")
+    parser.add_argument("--net_scale", type=str, default="full",
+                        choices=["full", "tiny"],
+                        help="tiny = reduced nets for smoke tests")
     return parser
 
 

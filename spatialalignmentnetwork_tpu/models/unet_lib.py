@@ -80,6 +80,80 @@ class LibUNet(nn.Module):
         return nn.Conv(self.out_chans, (3, 3), padding=1, dtype=self.dtype)(x)
 
 
+class Encoder(nn.Module):
+    """Feature-pyramid encoder (reference unet.py:33-72): conv+LeakyReLU
+    stem and residual blocks per level with avg-pool downsampling; returns
+    the per-level feature list (norm-free, matching the reference default)."""
+
+    layers: Sequence[int]
+    dtype: Any = jnp.float32
+
+    def _cna(self, x, ch):
+        x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, 0.01)
+
+    def _res(self, x, ch, n=2):
+        y = x
+        for _ in range(n):
+            y = self._cna(y, ch)
+        return x + y
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        chs = list(self.layers)
+        x = self._cna(x, chs[0])
+        x = self._res(x, chs[0])
+        feats.append(x)
+        for ch in chs[1:-1]:
+            x = avg_pool2(x)
+            x = self._cna(x, ch)
+            x = self._res(x, ch)
+            feats.append(x)
+        x = avg_pool2(x)
+        x = self._cna(x, chs[-1])
+        feats.append(x)
+        return feats
+
+
+class Decoder(nn.Module):
+    """Bridged decoder (reference unet.py:74-117): consumes an encoder's
+    feature list deepest-first, concatenating each bridge before its level."""
+
+    out_chans: int
+    layers: Sequence[int]
+    bridges: Sequence[int]
+    dtype: Any = jnp.float32
+
+    def _cna(self, x, ch):
+        x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype)(x)
+        return nn.leaky_relu(x, 0.01)
+
+    def _res(self, x, ch, n=2):
+        y = x
+        for _ in range(n):
+            y = self._cna(y, ch)
+        return x + y
+
+    @nn.compact
+    def __call__(self, bridges):
+        layers = list(self.layers)
+        assert len(layers) == len(self.bridges)
+        x = None
+        for i, bridge in enumerate(reversed(bridges)):
+            level = len(layers) - 1 - i
+            ch = layers[level]
+            x = bridge if x is None else jnp.concatenate([x, bridge], axis=-1)
+            x = self._cna(x, ch)
+            x = self._res(x, ch)
+            if level > 0:
+                x = upsample_nearest2(x)
+            else:
+                x = nn.Conv(self.out_chans, (3, 3), padding=1,
+                            dtype=self.dtype)(x)
+        return x
+
+
 class ResNet(nn.Module):
     """Plain conv ResNet factory (reference unet.py:204-224).
 

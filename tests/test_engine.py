@@ -1,0 +1,167 @@
+"""Engine tests: config, checkpointing, and one Mixed train step."""
+
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from spatialalignmentnetwork_tpu.engine.config import Config
+from spatialalignmentnetwork_tpu.engine.checkpoint import (
+    flatten_tree, unflatten_tree, ckpt_save, ckpt_load,
+)
+from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+
+def tiny_cfg(reg="Mixed", shape=16):
+    cfg = Config()
+    cfg.sparsity = 0.25
+    cfg.lr = 1e-4
+    cfg.shape = shape
+    cfg.coils = 1
+    cfg.reg = reg
+    cfg.mask = "equispaced"
+    cfg.weight_smooth = 1000.0
+    cfg.weight_gan = 0.1
+    cfg.weight_gan_sim = 1.0
+    cfg.weight_sim = 1.0
+    cfg.net_G_layers = (4, 8)
+    cfg.net_D_blocks = ((4,), (8,))
+    cfg.net_T_layers = (4, 8)
+    cfg.net_R_cascades = 1
+    cfg.net_R_chans = 4
+    cfg.net_R_sens_chans = 4
+    cfg.net_R_pools = 1
+    cfg.net_R_sens_pools = 1
+    return cfg
+
+
+def _batch(shape=16, n=4, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda s: (rng.random((n, 1, shape, shape))
+                    + 1j * rng.random((n, 1, shape, shape))).astype(np.complex64)
+    return mk(seed), mk(seed + 1)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = tiny_cfg()
+    path = str(tmp_path / "config")
+    cfg.save(path)
+    cfg2 = Config().load(path)
+    assert cfg2.reg == "Mixed" and cfg2.shape == 16
+    assert list(cfg2.net_G_layers) == [4, 8]
+    assert "sparsity" in cfg2
+    assert cfg2["lr"] == 1e-4
+
+
+def test_flatten_unflatten():
+    tree = {"a": {"b": np.ones(2), "c": np.zeros(3)}, "d": np.arange(4)}
+    flat = flatten_tree(tree)
+    assert set(flat) == {"a/b", "a/c", "d"}
+    back = unflatten_tree(flat)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+
+
+def test_mixed_train_step_updates_all_nets():
+    cfg = tiny_cfg("Mixed")
+    net = CSModel(cfg=cfg)
+    before = jax.tree_util.tree_map(np.asarray, net.state["params"])
+    full, aux = _batch()
+    net.set_input(full, aux)
+    net.update()
+    after = net.state["params"]
+    for name in ("net_T", "net_G", "net_R", "net_D"):
+        diff = sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(after[name]),
+                jax.tree_util.tree_leaves(before[name]),
+            )
+        )
+        assert diff > 0, f"{name} unchanged after Mixed step"
+    scalars = net.get_vis("scalars")["scalars"]
+    for key in ("loss_all", "loss_sim", "loss_smooth", "loss_gan_sim",
+                "loss_gan_G", "loss_gan_Dfake", "loss_gan_Dreal"):
+        assert key in scalars and np.isfinite(scalars[key])
+
+
+def test_none_regime_only_updates_R():
+    cfg = tiny_cfg("None")
+    net = CSModel(cfg=cfg)
+    before = jax.tree_util.tree_map(np.asarray, net.state["params"])
+    full, aux = _batch(seed=5)
+    net.set_input(full, aux)
+    net.update()
+    after = net.state["params"]
+
+    def total_diff(name):
+        return sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(after[name]),
+                jax.tree_util.tree_leaves(before[name]),
+            )
+        )
+
+    assert total_diff("net_R") > 0
+    assert total_diff("net_G") == 0
+    assert total_diff("net_D") == 0
+    # net_T params frozen, but BatchNorm running stats DO update (parity
+    # with torch train-mode no_grad forward)
+    assert total_diff("net_T") == 0
+
+
+def test_checkpoint_roundtrip_and_partial_load(tmp_path):
+    cfg = tiny_cfg("Mixed")
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=7)
+    net.set_input(full, aux)
+    net.update()
+    path = str(tmp_path / "ckpt.pt")
+    net.save(path)
+    assert os.path.isdir(path)
+    assert set(os.listdir(path)) >= {"net_G", "net_D", "net_T", "net_R",
+                                     "net_mask", "config"}
+
+    # full reload (no cfg -> restored from ckpt)
+    net2 = CSModel(ckpt=path)
+    for name in ("net_G", "net_R"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(net.state["params"][name]),
+            jax.tree_util.tree_leaves(net2.state["params"][name]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(net.state["pruned"]), np.asarray(net2.state["pruned"])
+    )
+
+    # partial load: only net_T from ckpt, rest fresh
+    net3 = CSModel(ckpt=path, cfg=tiny_cfg("Mixed"), objects=["net_T"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(net.state["params"]["net_T"]),
+        jax.tree_util.tree_leaves(net3.state["params"]["net_T"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diff_G = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(
+            jax.tree_util.tree_leaves(net.state["params"]["net_G"]),
+            jax.tree_util.tree_leaves(net3.state["params"]["net_G"]),
+        )
+    )
+    assert diff_G > 0  # net_G was NOT loaded
+
+
+def test_test_step_metrics(tmp_path):
+    cfg = tiny_cfg("Rec")
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=9)
+    net.eval()
+    net.set_input(full, aux)
+    ret = net.test()
+    scalars = net.get_vis("scalars")["scalars"]
+    assert "metric_PSNR" in scalars and "metric_SSIM" in scalars
+    assert ret == -scalars["metric_PSNR"]
+    imgs = net.get_vis("images")["images"]
+    assert "img_rec" in imgs and imgs["img_rec"].shape == (4, 1, 16, 16)

@@ -1,0 +1,63 @@
+"""Pallas kernel parity tests (interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spatialalignmentnetwork_tpu.ops.grid_sample import grid_sample as ref_sample
+from spatialalignmentnetwork_tpu.ops.pallas.grid_sample import grid_sample_pallas
+
+
+def _data(seed=0, n=2, c=3, h=16, w=16, scale=0.8):
+    rng = np.random.default_rng(seed)
+    img = jnp.asarray(rng.standard_normal((n, c, h, w)).astype(np.float32))
+    grid = jnp.asarray(
+        (rng.standard_normal((n, h, w, 2)) * scale).astype(np.float32)
+    )
+    return img, grid
+
+
+def test_pallas_grid_sample_matches_reference_all_modes():
+    img, grid = _data(0)
+    for pm in ("zeros", "border", "reflection"):
+        got = grid_sample_pallas(img, grid, pm)
+        want = ref_sample(img, grid, pm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
+        )
+
+
+def test_pallas_grid_sample_out_of_bounds():
+    img, grid = _data(1, scale=2.5)
+    for pm in ("zeros", "border", "reflection"):
+        got = grid_sample_pallas(img, grid, pm)
+        want = ref_sample(img, grid, pm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
+        )
+
+
+def test_pallas_grid_sample_nonsquare_block():
+    img, grid = _data(2, h=24, w=16)
+    got = grid_sample_pallas(img, grid, "zeros")
+    want = ref_sample(img, grid, "zeros")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
+    )
+
+
+def test_pallas_grid_sample_grads_match_reference():
+    img, grid = _data(3)
+
+    def loss_p(i, g):
+        return jnp.sum(grid_sample_pallas(i, g, "zeros") ** 2)
+
+    def loss_r(i, g):
+        return jnp.sum(ref_sample(i, g, "zeros") ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(img, grid)
+    gr = jax.grad(loss_r, argnums=(0, 1))(img, grid)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
