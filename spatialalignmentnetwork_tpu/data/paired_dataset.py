@@ -122,6 +122,32 @@ class ConcatDataset:
         return self.datasets[di][index - int(self.offsets[di])]
 
 
+class TiffPaired:
+    """Side-by-side paired tiff images -> (t1, t2) complex slices
+    (reference paired_dataset.py:124-142; needs imageio)."""
+
+    def __init__(self, tiffs, crop=None):
+        self.tiffs = list(tiffs)
+        self.crop = crop
+
+    def __len__(self):
+        return len(self.tiffs)
+
+    def __getitem__(self, ind):
+        import imageio
+
+        img = np.asarray(imageio.imread(self.tiffs[ind]))
+        assert img.ndim == 2
+        t1, t2 = np.split(img, 2, axis=-1)
+        out = []
+        for x in (t1, t2):
+            x = x[None].astype(np.complex64)
+            if self.crop is not None:
+                x = center_crop(x, (self.crop, self.crop))
+            out.append(x)
+        return out
+
+
 def get_paired_volume_datasets(csv_path, protocals=None, crop=None, q=0,
                                flatten_channels=False):
     """CSV manifest -> list of per-volume AlignedVolumesDatasets

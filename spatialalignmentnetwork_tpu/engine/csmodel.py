@@ -524,6 +524,80 @@ class CSModel:
                 vis["histograms"]["weights"] = {"values": np.asarray(w)}
         return vis
 
+    # ------------------------------------------------------------- pruning
+    def taylor_step(self):
+        """Accumulate Taylor saliency for the current batch: the squared
+        gradient of the regime loss wrt a per-line k-space multiplier
+        (reference masks.py:232-244 backward-hook equivalent). Call after
+        set_input; values accumulate host-side until prune()."""
+        assert self.cfg.mask == "taylor"
+        key = ("taylor", self._batch[0].shape)
+        if key not in self._step_cache:
+
+            def saliency(state, img_full, img_aux):
+                def loss_of_mask(mask_vec):
+                    img_k_full = fft2(img_full)
+                    keep = (1.0 - state["pruned"].astype(jnp.float32)) * mask_vec
+                    env = {
+                        "pruned": state["pruned"],
+                        "img_full": img_full,
+                        "img_aux": img_aux,
+                        "img_k_sampled": img_k_full * keep[None, None, None, :],
+                        "img_full_rss": rss(img_full),
+                        "img_aux_rss": rss(img_aux),
+                    }
+                    env["img_sampled"] = ifft2(env["img_k_sampled"])
+                    losses, _, _ = self._forward_TGR(
+                        state["params"], state["stats"], env, train=False,
+                        with_G=False, with_R=True,
+                    )
+                    return losses["loss_sim"] * self.cfg.weight_sim
+
+                g = jax.grad(loss_of_mask)(
+                    jnp.ones(self.cfg.shape, jnp.float32)
+                )
+                return g * g
+
+            self._step_cache[key] = jax.jit(saliency)
+        val = self._step_cache[key](self.state, *self._batch)
+        self._taylor_values = getattr(self, "_taylor_values", [])
+        self._taylor_values.append(np.asarray(val))
+
+    def prune(self, num, thres=1.0, random=0.0):
+        """Prune `num` k-space lines per the mask kind (reference
+        masks.py:17-38 magnitude / 214-229 Taylor-saliency policies)."""
+        kind = self.cfg.mask
+        pruned = np.asarray(self.state["pruned"])
+        if kind in ("mask", "standard", "equispaced", "lowpass"):
+            # magnitude policy (all reference Mask subclasses inherit it,
+            # masks.py:17-38); fixed masks carry an implicit all-ones weight
+            # so default thres=1 prunes nothing there, as in the reference
+            w = self.state["params"]["net_mask"].get("weight")
+            weight = (
+                np.asarray(w) if w is not None
+                else np.ones(self.cfg.shape, np.float32)
+            )
+            new = masks_lib.magnitude_prune(
+                weight, pruned, num, thres, random,
+                rng=np.random.default_rng(self.seed),
+            )
+        elif kind == "taylor":
+            values = getattr(self, "_taylor_values", [])
+            self._taylor_values = []
+            if num == 0:
+                return
+            assert num > 0 and len(values) > 0
+            w = np.stack(values, 0).mean(0)
+            w[pruned] = w.max()
+            new = pruned.copy()
+            order = np.argsort(w)
+            new[order[:num]] = True
+        elif kind == "loupe":
+            return  # LOUPE prunes via its probability mask, not here
+        else:
+            raise AssertionError(f"mask kind {kind!r} does not prune")
+        self.state["pruned"] = jnp.asarray(new)
+
     # ------------------------------------------------------------- checkpoint
     def save(self, path, objects=None):
         names = objects if objects is not None else list(NET_NAMES)

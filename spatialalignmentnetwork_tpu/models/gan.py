@@ -17,10 +17,77 @@ NHWC throughout; NCHW at the public module boundary.
 
 from typing import Any, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import avg_pool2, upsample_nearest2, nchw_to_nhwc, nhwc_to_nchw
+
+
+def _l2_normalize(x, eps=1e-12):
+    return x / (jnp.linalg.norm(x) + eps)
+
+
+class SpectralConv(nn.Module):
+    """Conv2d under spectral normalization with torch-exact semantics
+    (torch.nn.utils.spectral_norm): u and v singular-vector estimates are
+    stored state; training forwards run `n_steps` power iterations
+    (updating u, v) BEFORE computing sigma = u . W_mat . v; eval forwards
+    use the stored vectors unchanged. Gradients flow through sigma (u, v
+    detached). W_mat is the kernel in torch layout [out, in*kh*kw] so
+    reference checkpoints cross-load bit-for-bit.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    n_steps: int = 1
+    eps: float = 1e-12
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool):
+        kh, kw = self.kernel_size
+        in_ch = x.shape[-1]
+        out = self.features
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_normal(), (kh, kw, in_ch, out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (out,))
+        k_dim = in_ch * kh * kw
+
+        # torch weight layout [out, in, kh, kw] flattened to [out, K]
+        w_mat = jnp.transpose(kernel, (3, 2, 0, 1)).reshape(out, k_dim)
+
+        def _init_vec(key, n):
+            return _l2_normalize(jax.random.normal(key, (n,)), self.eps)
+
+        u_var = self.variable(
+            "batch_stats", "u", lambda: _init_vec(self.make_rng("params"), out)
+        )
+        v_var = self.variable(
+            "batch_stats", "v", lambda: _init_vec(self.make_rng("params"), k_dim)
+        )
+        u, v = u_var.value, v_var.value
+        if update_stats and not self.is_initializing():
+            for _ in range(self.n_steps):
+                v = _l2_normalize(w_mat.T @ u, self.eps)
+                u = _l2_normalize(w_mat @ v, self.eps)
+            u = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+            u_var.value = u
+            v_var.value = v
+        sigma = jnp.dot(u, w_mat @ v)
+        w = (kernel / sigma).astype(self.dtype)
+
+        pad = kh // 2 if self.strides[0] == 1 else 0
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w,
+            window_strides=tuple(self.strides),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
 
 
 class SNConv(nn.Module):
@@ -41,13 +108,9 @@ class SNConv(nn.Module):
                 dtype=self.dtype,
             )(x)
         x = nn.relu(x) if self.act == "relu" else nn.leaky_relu(x, 0.01)
-        pad = self.kernel[0] // 2 if self.strides[0] == 1 else 0
-        conv = nn.Conv(
-            self.out_chans, self.kernel, strides=self.strides, padding=pad,
-            kernel_init=nn.initializers.xavier_normal(), dtype=self.dtype,
-        )
-        x = nn.SpectralNorm(conv)(x, update_stats=train)
-        return x
+        return SpectralConv(
+            self.out_chans, self.kernel, self.strides, dtype=self.dtype
+        )(x, update_stats=train)
 
 
 class NetG(nn.Module):

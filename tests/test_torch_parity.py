@@ -1,0 +1,227 @@
+"""Numerical parity vs the reference PyTorch implementation.
+
+These tests import the reference modules (read-only, used purely as a test
+oracle — no code is copied), convert their randomly-initialized weights
+with engine.torch_compat, and assert both frameworks produce the same
+outputs on the same inputs. This validates both the architecture
+re-implementation and the checkpoint cross-loading path.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not __import__("os").path.isdir(REF), reason="reference repo not mounted"
+)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import torch  # noqa: E402
+
+from spatialalignmentnetwork_tpu.engine import torch_compat as TC  # noqa: E402
+from spatialalignmentnetwork_tpu.engine.checkpoint import flatten_tree  # noqa: E402
+from spatialalignmentnetwork_tpu.engine.csmodel import CSModel  # noqa: E402
+
+
+def _merge(template, flat):
+    return CSModel._merge_like(template, flat)
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _rand(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def test_fastmri_unet_parity():
+    import varnet as ref_varnet  # reference module (oracle)
+
+    torch.manual_seed(0)
+    tnet = ref_varnet.Unet(in_chans=3, out_chans=2, chans=4, num_pool_layers=2)
+    tnet.eval()
+    x = _rand((2, 3, 24, 24), 1)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    from spatialalignmentnetwork_tpu.models.unet import Unet
+
+    jnet = Unet(out_chans=2, chans=4, num_pool_layers=2)
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tmpl = jnet.init(jax.random.PRNGKey(0), xn)
+    flat = TC.fastmri_unet_to_flax(_sd(tnet), "", num_pools=2)
+    params = _merge(tmpl["params"], flat)
+    got = np.transpose(np.asarray(jnet.apply({"params": params}, xn)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_varnet_parity():
+    import varnet as ref_varnet
+
+    torch.manual_seed(1)
+    kwargs = dict(num_cascades=2, sens_chans=4, sens_pools=2, chans=4, pools=2)
+    tnet = ref_varnet.VarNet(use_ref=True, **kwargs)
+    tnet.eval()
+
+    size, coils, n = 32, 1, 2
+    rng = np.random.default_rng(2)
+    k = (rng.standard_normal((n, coils, size, size))
+         + 1j * rng.standard_normal((n, coils, size, size))).astype(np.complex64)
+    pruned = rng.random(size) > 0.5
+    pruned[:4] = False
+    pruned[-4:] = False
+    mask = ~pruned
+    k = k * mask[None, None, None, :]
+    ref_img = np.abs(rng.standard_normal((n, coils, size, size))).astype(np.float32)
+    num_low = 8
+
+    with torch.no_grad():
+        want = tnet(
+            torch.from_numpy(k), torch.from_numpy(mask[None, None, None, :]),
+            torch.from_numpy(ref_img), num_low,
+        ).numpy()
+
+    from spatialalignmentnetwork_tpu.models.varnet import VarNet
+
+    jnet = VarNet(use_ref=True, num_cascades=2, sens_chans=4, sens_pools=2,
+                  chans=4, pools=2)
+    tmpl = jnet.init(
+        jax.random.PRNGKey(0), jnp.asarray(k), jnp.asarray(mask),
+        jnp.asarray(ref_img), num_low,
+    )
+    flat = TC.varnet_to_flax(_sd(tnet), num_cascades=2, sens_pools=2, pools=2)
+    params = _merge(tmpl["params"], flat)
+    got = np.asarray(
+        jnet.apply({"params": params}, jnp.asarray(k), jnp.asarray(mask),
+                   jnp.asarray(ref_img), num_low)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_libunet_parity():
+    import unet as ref_unet
+
+    torch.manual_seed(2)
+    tnet = ref_unet.UNet(3, 2, (4, 8, 8))
+    # push some batches through to move BN running stats off their init
+    tnet.train()
+    with torch.no_grad():
+        for s in range(3):
+            tnet(torch.from_numpy(_rand((4, 3, 16, 16), 10 + s)))
+    tnet.eval()
+    x = _rand((2, 3, 16, 16), 3)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    from spatialalignmentnetwork_tpu.models.unet_lib import LibUNet
+
+    jnet = LibUNet(out_chans=2, layers=(4, 8, 8))
+    xn = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    tmpl = jnet.init({"params": jax.random.PRNGKey(0)}, xn, train=False)
+    keys = [f"LibUNet_0/{k}" for k in flatten_tree(tmpl["params"]).keys()]
+    pflat, sflat = TC.libunet_family_to_flax(
+        _sd(tnet),
+        *TC._libunet_slots(keys),
+    )
+    strip = lambda d: {k[len("LibUNet_0/"):]: v for k, v in d.items()}
+    params = _merge(tmpl["params"], strip(pflat))
+    stats = _merge(tmpl["batch_stats"], strip(sflat))
+    got = np.transpose(
+        np.asarray(
+            jnet.apply({"params": params, "batch_stats": stats}, xn, train=False)
+        ),
+        (0, 3, 1, 2),
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_stn_parity():
+    import cross as ref_cross
+
+    torch.manual_seed(3)
+    tnet = ref_cross.SpatialTransformer(channels=1)
+    tnet.eval()
+    mov = np.abs(_rand((2, 1, 32, 32), 4))
+    fix = np.abs(_rand((2, 1, 32, 32), 5))
+    with torch.no_grad():
+        t_off, t_grid = tnet(torch.from_numpy(mov), torch.from_numpy(fix))
+        t_warp = tnet.warp(torch.from_numpy(mov), t_grid)
+
+    from spatialalignmentnetwork_tpu.models.stn import SpatialTransformer, warp
+
+    jnet = SpatialTransformer(channels=1)
+    vs = jnet.init({"params": jax.random.PRNGKey(0)},
+                   jnp.asarray(mov), jnp.asarray(fix), train=False)
+    pflat, sflat = TC.stn_to_flax(_sd(tnet), flatten_tree(vs["params"]).keys())
+    params = _merge(vs["params"], pflat)
+    stats = _merge(vs["batch_stats"], sflat)
+    j_off, j_grid = jnet.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(mov), jnp.asarray(fix), train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_off), t_off.numpy(), rtol=1e-3, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(j_grid), t_grid.numpy(), rtol=1e-3, atol=1e-5
+    )
+    j_warp = warp(jnp.asarray(mov), j_grid)
+    np.testing.assert_allclose(
+        np.asarray(j_warp), t_warp.numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_netg_parity():
+    import gan as ref_gan
+
+    torch.manual_seed(4)
+    tnet = ref_gan.NetG(in_channels=1, out_channels=1, layers=(4, 8))
+    tnet.eval()
+    x = np.abs(_rand((2, 1, 16, 16), 6))
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    from spatialalignmentnetwork_tpu.models.gan import NetG
+
+    jnet = NetG(out_chans=1, layers=(4, 8))
+    vs = jnet.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                   train=False)
+    pflat, sflat = TC.netg_to_flax(_sd(tnet), flatten_tree(vs["params"]).keys())
+    params = _merge(vs["params"], pflat)
+    stats = _merge(vs["batch_stats"], sflat)
+    got = np.asarray(
+        jnet.apply({"params": params, "batch_stats": stats}, jnp.asarray(x),
+                   train=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_netd_parity():
+    import gan as ref_gan
+
+    torch.manual_seed(5)
+    tnet = ref_gan.NetD(in_channels=2, layers=([4] * 2, [8] * 2))
+    tnet.eval()
+    x = _rand((2, 2, 16, 16), 7)
+    with torch.no_grad():
+        want = tnet(torch.from_numpy(x)).numpy()
+
+    from spatialalignmentnetwork_tpu.models.gan import NetD
+
+    jnet = NetD(blocks=((4,) * 2, (8,) * 2))
+    vs = jnet.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x),
+                   train=False)
+    pflat, sflat = TC.netd_to_flax(_sd(tnet), flatten_tree(vs["params"]).keys())
+    params = _merge(vs["params"], pflat)
+    stats = _merge(vs["batch_stats"], sflat)
+    got = np.asarray(
+        jnet.apply({"params": params, "batch_stats": stats}, jnp.asarray(x),
+                   train=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
