@@ -28,12 +28,17 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--fft", type=str, default="auto",
+                   choices=["auto", "xla", "matmul"])
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
     from spatialalignmentnetwork_tpu.models.varnet import VarNet
     from spatialalignmentnetwork_tpu.ops.masks import make_mask
+    from spatialalignmentnetwork_tpu.ops.fft import set_fft_impl
+
+    set_fft_impl(args.fft)
 
     shape = 320
     sparsity = 0.25

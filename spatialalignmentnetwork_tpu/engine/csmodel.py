@@ -46,6 +46,7 @@ from ..models.varnet import VarNet
 from ..models.stn import SpatialTransformer, warp, gradient_loss
 from ..models.gan import NetG, NetD, loss_gan
 from ..utils import metrics
+from ..utils import metrics_jax as jmetrics
 from .config import Config
 from .checkpoint import ckpt_save, ckpt_load, flatten_tree, unflatten_tree
 
@@ -438,6 +439,16 @@ class CSModel:
                    "img_aux_rss": env["img_aux_rss"],
                    "img_mask": mask_vis,
                    **imgs}
+            # on-device eval metrics (model.py:275-279 equivalents):
+            # scalars only cross to the host, never image batches
+            full = env["img_full_rss"].astype(jnp.float32)
+            rec = imgs["img_rec"].astype(jnp.float32)
+            warped = imgs["img_warped_rss"].astype(jnp.float32)
+            aux["metric_MI"] = jmetrics.mi(full, warped)
+            aux["metric_PSNR"] = jmetrics.psnr(full, rec)
+            aux["metric_SSIM"] = jmetrics.ssim(full, rec)
+            aux["metric_MAE"] = jmetrics.mae(full, rec)
+            aux["metric_MSE"] = jmetrics.mse(full, rec)
             return aux
 
         return step
@@ -480,21 +491,11 @@ class CSModel:
         key = ("test", self._batch[0].shape)
         if key not in self._step_cache:
             self._step_cache[key] = self._make_test_step()
-        aux = self._step_cache[key](self.state, *self._batch)
-        # host-side eval metrics (model.py:275-279)
-        full = np.asarray(aux["img_full_rss"], dtype=np.float32)
-        rec = np.asarray(aux["img_rec"], dtype=np.float32)
-        warped = np.asarray(aux["img_warped_rss"], dtype=np.float32)
-        aux = dict(aux)
-        aux["metric_MI"] = metrics.mi(full, warped)
-        aux["metric_PSNR"] = metrics.psnr(full, rec)
-        aux["metric_SSIM"] = metrics.ssim(full, rec)
-        aux["metric_MAE"] = metrics.mae(full, rec)
-        aux["metric_MSE"] = metrics.mse(full, rec)
+        aux = dict(self._step_cache[key](self.state, *self._batch))
         self._aux = aux
         if self.cfg.reg == "GAN-Only":
-            return -aux["metric_MI"]
-        return -aux["metric_PSNR"]
+            return -float(aux["metric_MI"])
+        return -float(aux["metric_PSNR"])
 
     def get_vis(self, content=None):
         assert content in [None, "scalars", "histograms", "images"]

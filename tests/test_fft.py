@@ -28,6 +28,29 @@ def test_ifft2_roundtrip():
     np.testing.assert_allclose(got, x, rtol=1e-5, atol=1e-5)
 
 
+def test_matmul_dft_matches_fft():
+    from spatialalignmentnetwork_tpu.ops import fft as F
+
+    x = _rand_c((2, 2, 24, 20), seed=7)
+    try:
+        F.set_fft_impl("matmul")
+        got_f = np.asarray(F.fft2(jnp.asarray(x)))
+        got_i = np.asarray(F.ifft2(jnp.asarray(x)))
+    finally:
+        F.set_fft_impl("auto")
+    want_f = np.fft.fft2(x, norm="ortho")
+    want_i = np.fft.ifft2(x, norm="ortho")
+    np.testing.assert_allclose(got_f, want_f, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_i, want_i, rtol=1e-4, atol=1e-5)
+    # unitarity round-trip
+    try:
+        F.set_fft_impl("matmul")
+        rt = np.asarray(F.ifft2(F.fft2(jnp.asarray(x))))
+    finally:
+        F.set_fft_impl("auto")
+    np.testing.assert_allclose(rt, x, rtol=1e-4, atol=1e-5)
+
+
 def test_fftshift_roll_semantics():
     x = _rand_c((1, 1, 7, 10), seed=2)
     got = np.asarray(fftshift2(jnp.asarray(x)))

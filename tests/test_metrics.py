@@ -66,6 +66,20 @@ def test_dice():
     assert abs(got - 2 * 16 / (32 + 32)) < 1e-9
 
 
+def test_jax_metrics_match_numpy():
+    import jax.numpy as jnp
+    from spatialalignmentnetwork_tpu.utils import metrics_jax as J
+
+    gt, pred = _pair(8)
+    g, p = jnp.asarray(gt), jnp.asarray(pred)
+    assert abs(float(J.mse(g, p)) - M.mse(gt, pred)) < 1e-7
+    assert abs(float(J.mae(g, p)) - M.mae(gt, pred)) < 1e-7
+    assert abs(float(J.nmse(g, p)) - M.nmse(gt, pred)) < 1e-6
+    assert abs(float(J.psnr(g, p)) - M.psnr(gt, pred)) < 1e-3
+    assert abs(float(J.ssim(g, p)) - M.ssim(gt, pred)) < 1e-5
+    assert abs(float(J.mi(g, p)) - M.mi(gt, pred)) < 1e-4
+
+
 def test_accepts_torch_and_jax_arrays():
     gt, pred = _pair(7)
     assert abs(M.psnr(torch.from_numpy(gt), pred) - M.psnr(gt, pred)) < 1e-9
