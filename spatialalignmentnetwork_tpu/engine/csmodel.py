@@ -99,6 +99,7 @@ class CSModel:
             chans=cfg.get("net_R_chans", 18),
             pools=cfg.get("net_R_pools", 4),
             use_ref=True,
+            remat=bool(cfg.get("net_R_remat", False)),
             dtype=self.dtype,
         )
 

@@ -93,6 +93,7 @@ class VarNet(nn.Module):
     chans: int = 18
     pools: int = 4
     use_ref: bool = False
+    remat: bool = False  # rematerialize cascade bodies (training memory)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -114,6 +115,11 @@ class VarNet(nn.Module):
         def body(block, kspace_pred, _):
             out = block(kspace_pred, masked_kspace, mask, sens_maps, ref)
             return out, ()
+
+        if self.remat:
+            # trade FLOPs for HBM: recompute each cascade's activations in
+            # the backward pass instead of storing 8 cascades' worth
+            body = nn.remat(body, prevent_cse=False)
 
         scan = nn.scan(
             body,

@@ -16,6 +16,9 @@ Gathers lower to XLA gather ops; a fused Pallas TPU kernel for the
 [N,C,320,320] hot path lives in ops/pallas/ (same API, same semantics).
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 
@@ -71,12 +74,27 @@ def grid_sample(
     grid: jnp.ndarray,
     padding_mode: str = "zeros",
     align_corners: bool = False,
+    impl: str = None,
 ) -> jnp.ndarray:
     """Bilinear sample `input` [N,C,H,W] at `grid` [N,Hg,Wg,2] -> [N,C,Hg,Wg].
 
     grid[..., 0] is x in [-1,1] over the W axis, grid[..., 1] is y over H.
+
+    impl: None/'auto' (Pallas MXU kernel on TPU, XLA gather elsewhere),
+    'jnp' (always gather), 'pallas' (always the kernel, interpreted off-TPU).
     """
     assert not align_corners, "only align_corners=False is supported"
+    impl = impl or os.environ.get("SAN_TPU_GRID_SAMPLE", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() in ("tpu", "axon")
+        and not jnp.iscomplexobj(input)
+        and grid.shape[1] % 2 == 0
+    )
+    if use_pallas:
+        from .pallas.grid_sample import grid_sample_pallas
+
+        return grid_sample_pallas(input, grid, padding_mode)
     assert input.ndim == 4 and grid.ndim == 4 and grid.shape[-1] == 2
     n, c, h, w = input.shape
     dtype = input.dtype

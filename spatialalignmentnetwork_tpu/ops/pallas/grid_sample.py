@@ -161,7 +161,11 @@ def _bwd(padding_mode, interpret, res, g):
     # contraction from the closed-form jnp formulation
     from ..grid_sample import grid_sample as ref_sample
 
-    _, vjp = jax.vjp(lambda i, gr: ref_sample(i, gr, padding_mode), img, grid)
+    # impl='jnp' explicitly: the dispatcher would otherwise route back to
+    # this kernel on TPU and recurse
+    _, vjp = jax.vjp(
+        lambda i, gr: ref_sample(i, gr, padding_mode, impl="jnp"), img, grid
+    )
     di, dg = vjp(g)
     return di, dg
 
