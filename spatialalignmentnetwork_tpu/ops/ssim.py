@@ -8,6 +8,9 @@ The five window sums + elementwise SSIM map fuse into one XLA pass (see
 ops/window.py); this is the fused-window-kernel hot path of the recon loss.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from .window import window_sum2d
@@ -37,6 +40,18 @@ def ssim_map(X: jnp.ndarray, Y: jnp.ndarray, win_size: int = 7,
     return (A1 * A2) / (B1 * B2)
 
 
-def ssimloss(X: jnp.ndarray, Y: jnp.ndarray) -> jnp.ndarray:
-    """1 - mean SSIM (reference ssimloss.py:11)."""
+def ssimloss(X: jnp.ndarray, Y: jnp.ndarray, impl: str = None) -> jnp.ndarray:
+    """1 - mean SSIM (reference ssimloss.py:11).
+
+    impl: None/'auto' -> fused Pallas kernel on TPU backends, XLA-fused
+    separable convs elsewhere; 'jnp'/'pallas' force a path.
+    """
+    impl = impl or os.environ.get("SAN_TPU_SSIM", "auto")
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon")
+    )
+    if use_pallas:
+        from .pallas.ssim import ssimloss_pallas
+
+        return ssimloss_pallas(X, Y)
     return 1.0 - jnp.mean(ssim_map(X, Y))

@@ -46,6 +46,33 @@ def test_pallas_grid_sample_nonsquare_block():
     )
 
 
+def test_pallas_ssim_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.ssim import ssimloss_pallas
+    from spatialalignmentnetwork_tpu.ops.ssim import ssimloss
+
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.random((2, 1, 32, 40)).astype(np.float32))
+    Y = jnp.asarray(rng.random((2, 1, 32, 40)).astype(np.float32))
+    got = float(ssimloss_pallas(X, Y))
+    want = float(ssimloss(X, Y, impl="jnp"))
+    assert abs(got - want) < 1e-5
+    assert abs(float(ssimloss_pallas(X, X))) < 1e-5
+
+
+def test_pallas_ssim_grad_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.ssim import ssimloss_pallas
+    from spatialalignmentnetwork_tpu.ops.ssim import ssimloss
+
+    rng = np.random.default_rng(8)
+    X = jnp.asarray(rng.random((1, 1, 24, 24)).astype(np.float32))
+    Y = jnp.asarray(rng.random((1, 1, 24, 24)).astype(np.float32))
+    gp = jax.grad(lambda a, b: ssimloss_pallas(a, b), argnums=(0, 1))(X, Y)
+    gr = jax.grad(lambda a, b: ssimloss(a, b, impl="jnp"), argnums=(0, 1))(X, Y)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_pallas_grid_sample_grads_match_reference():
     img, grid = _data(3)
 
