@@ -22,6 +22,54 @@ import time
 import numpy as np
 
 
+def bench_train(args):
+    """Full Mixed-regime training-step throughput (all 5 nets, both GAN
+    passes, optimizer updates on device)."""
+    import time as _time
+
+    import jax
+    import numpy as np
+    from spatialalignmentnetwork_tpu.engine.config import Config
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+    cfg = Config()
+    cfg.sparsity = 0.25
+    cfg.lr = 1e-4
+    cfg.shape = 320
+    cfg.coils = 1
+    cfg.reg = "Mixed"
+    cfg.mask = "equispaced"
+    cfg.weight_smooth = 1000.0
+    cfg.weight_gan = 0.1
+    cfg.weight_gan_sim = 1.0
+    cfg.weight_sim = 1.0
+    cfg.use_amp = args.dtype == "bf16"
+    net = CSModel(cfg=cfg)
+
+    rng = np.random.default_rng(0)
+    B = args.batch
+    mk = lambda s: (
+        rng.standard_normal((B, 1, 320, 320))
+        + 1j * rng.standard_normal((B, 1, 320, 320))
+    ).astype(np.complex64)
+    net.set_input(mk(0), mk(1))
+    net.update()  # compile
+    jax.block_until_ready(net.state["params"])
+
+    t0 = _time.perf_counter()
+    for _ in range(args.iters):
+        net.update()
+    jax.block_until_ready(net.state["params"])
+    dt = _time.perf_counter() - t0
+    steps_per_sec = args.iters / dt
+    print(json.dumps({
+        "metric": "mixed_train_steps_per_sec_b%d_320x320" % B,
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec * B / 10000.0, 4),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -30,6 +78,8 @@ def main():
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     p.add_argument("--fft", type=str, default="auto",
                    choices=["auto", "xla", "matmul"])
+    p.add_argument("--mode", type=str, default="recon",
+                   choices=["recon", "train"])
     args = p.parse_args()
 
     import jax
@@ -39,6 +89,9 @@ def main():
     from spatialalignmentnetwork_tpu.ops.fft import set_fft_impl
 
     set_fft_impl(args.fft)
+    if args.mode == "train":
+        bench_train(args)
+        return
 
     shape = 320
     sparsity = 0.25

@@ -1,0 +1,77 @@
+"""Data-parallel training tests on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.test_engine import tiny_cfg, _batch
+from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+from spatialalignmentnetwork_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def _param_delta(a, b):
+    return sum(
+        float(jnp.abs(x - y).sum())
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_dp_step_matches_single_device(mesh):
+    """One Rec train step: replicated-params DP over 8 devices must produce
+    the same updated parameters as the single-device step (same global
+    batch; BN stats and grad all-reduce are global either way)."""
+    full, aux = _batch(shape=16, n=16, seed=11)
+
+    net_a = CSModel(cfg=tiny_cfg("Rec"))
+    net_a.set_input(full, aux)
+    net_a.update()
+
+    net_b = CSModel(cfg=tiny_cfg("Rec"))
+    net_b.distribute(mesh)
+    net_b.set_input(full, aux)
+    net_b.update()
+
+    for name in ("net_T", "net_R"):
+        for x, y in zip(
+            jax.tree_util.tree_leaves(net_a.state["params"][name]),
+            jax.tree_util.tree_leaves(net_b.state["params"][name]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-4, atol=2e-5
+            )
+    la = net_a.get_vis("scalars")["scalars"]
+    lb = net_b.get_vis("scalars")["scalars"]
+    for k in la:
+        assert abs(la[k] - lb[k]) < 1e-3, (k, la[k], lb[k])
+
+
+def test_dp_batch_is_sharded(mesh):
+    net = CSModel(cfg=tiny_cfg("None"))
+    net.distribute(mesh)
+    full, aux = _batch(shape=16, n=16, seed=12)
+    net.set_input(full, aux)
+    img = net._batch[0]
+    shard_shapes = {s.data.shape for s in img.addressable_shards}
+    assert shard_shapes == {(2, 1, 16, 16)}  # 16 samples over 8 devices
+    # params replicated
+    leaf = jax.tree_util.tree_leaves(net.state["params"]["net_R"])[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_dp_test_step(mesh):
+    net = CSModel(cfg=tiny_cfg("Rec"))
+    net.distribute(mesh)
+    net.eval()
+    full, aux = _batch(shape=16, n=16, seed=13)
+    net.set_input(full, aux)
+    ret = net.test()
+    assert np.isfinite(ret)
+    scalars = net.get_vis("scalars")["scalars"]
+    assert "metric_PSNR" in scalars
