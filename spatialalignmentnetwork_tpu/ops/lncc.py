@@ -5,6 +5,9 @@ windows, cc = cross^2 / (I_var * J_var + 1e-5), loss = -mean(cc); multi-scale
 variant smooths with a Gaussian and 2x avg-pools between scales.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 from .window import window_sum2d, avg_pool2d_nchw
@@ -28,8 +31,16 @@ def compute_local_sums(I, J, win: int):
     return I_var, J_var, cross
 
 
-def lncc_loss(I: jnp.ndarray, J: jnp.ndarray, win: int = 9) -> jnp.ndarray:
+def lncc_loss(I: jnp.ndarray, J: jnp.ndarray, win: int = 9,
+              impl: str = None) -> jnp.ndarray:
     assert I.ndim == 4, "expected [N, C, H, W]"
+    impl = impl or os.environ.get("SAN_TPU_LNCC", "auto")
+    if impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon")
+    ):
+        from .pallas.lncc import lncc_loss_pallas
+
+        return lncc_loss_pallas(I, J, win)
     I_var, J_var, cross = compute_local_sums(I, J, win)
     cc = cross * cross / (I_var * J_var + 1e-5)
     return -jnp.mean(cc)

@@ -73,6 +73,32 @@ def test_pallas_ssim_grad_matches_reference():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_pallas_lncc_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.lncc import lncc_loss_pallas
+    from spatialalignmentnetwork_tpu.ops.lncc import lncc_loss
+
+    rng = np.random.default_rng(9)
+    I = jnp.asarray(rng.random((2, 1, 32, 24)).astype(np.float32))
+    J = jnp.asarray(rng.random((2, 1, 32, 24)).astype(np.float32))
+    got = float(lncc_loss_pallas(I, J))
+    want = float(lncc_loss(I, J, impl="jnp"))
+    assert abs(got - want) < 2e-4
+
+
+def test_pallas_lncc_grad_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.lncc import lncc_loss_pallas
+    from spatialalignmentnetwork_tpu.ops.lncc import lncc_loss
+
+    rng = np.random.default_rng(10)
+    I = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    J = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    gp = jax.grad(lambda a, b: lncc_loss_pallas(a, b), argnums=(0, 1))(I, J)
+    gr = jax.grad(lambda a, b: lncc_loss(a, b, impl="jnp"), argnums=(0, 1))(I, J)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_pallas_grid_sample_grads_match_reference():
     img, grid = _data(3)
 
