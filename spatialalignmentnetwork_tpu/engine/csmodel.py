@@ -280,10 +280,16 @@ class CSModel:
         return losses, imgs, stats
 
     # ------------------------------------------------------------- train steps
-    def _make_train_step(self, regime):
-        """Jitted train step; data-parallel over self.mesh when distributed."""
+    def _dp_active(self, batch_shape):
+        mesh = getattr(self, "mesh", None)
+        return mesh is not None and batch_shape[0] % mesh.size == 0
+
+    def _make_train_step(self, regime, batch_shape):
+        """Jitted train step; data-parallel over self.mesh when distributed
+        (and the batch divides the mesh — otherwise fall back to a
+        replicated single-program step)."""
         fn = self._make_train_step_fn(regime)
-        if getattr(self, "mesh", None) is not None:
+        if self._dp_active(batch_shape):
             from ..parallel.mesh import dp_shardings
 
             state_s, batch_s = dp_shardings(self.mesh, self.state)
@@ -412,9 +418,9 @@ class CSModel:
 
         return step
 
-    def _make_test_step(self):
+    def _make_test_step(self, batch_shape):
         fn = self._make_test_step_fn()
-        if getattr(self, "mesh", None) is not None:
+        if self._dp_active(batch_shape):
             from ..parallel.mesh import dp_shardings
 
             state_s, batch_s = dp_shardings(self.mesh, self.state)
@@ -472,7 +478,7 @@ class CSModel:
             img_aux = jnp.zeros_like(img_full)
         else:
             img_aux = jnp.asarray(img_aux)
-        if getattr(self, "mesh", None) is not None:
+        if self._dp_active(img_full.shape):
             from ..parallel.mesh import shard_batch
 
             img_full, img_aux = shard_batch(self.mesh, (img_full, img_aux))
@@ -483,7 +489,9 @@ class CSModel:
         regime = self.cfg.reg
         key = ("train", regime, self._batch[0].shape)
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_train_step(regime)
+            self._step_cache[key] = self._make_train_step(
+                regime, self._batch[0].shape
+            )
         self.state, aux = self._step_cache[key](self.state, *self._batch)
         self._aux = aux
 
@@ -491,7 +499,7 @@ class CSModel:
         assert not self.training
         key = ("test", self._batch[0].shape)
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_test_step()
+            self._step_cache[key] = self._make_test_step(self._batch[0].shape)
         aux = dict(self._step_cache[key](self.state, *self._batch))
         self._aux = aux
         if self.cfg.reg == "GAN-Only":

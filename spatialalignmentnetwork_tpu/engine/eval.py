@@ -51,6 +51,15 @@ def main(args):
         args.val, crop=crop, protocals=args.protocals
     )
     net.eval()
+    if getattr(args, "data_parallel", False):
+        # whole volumes are evaluated as one batch (the slice axis); shard
+        # slices across the mesh — the "batched 3-D volumes sharded across
+        # a slice" serving configuration
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        net.distribute(mesh)
+        print(f"data parallelism over {mesh.size} devices")
 
     rng = jax.random.PRNGKey(int(time.time()))
     stat_eval = []
@@ -117,6 +126,8 @@ def build_parser():
                         nargs="*")
     parser.add_argument("--aux_aug", type=float, default=-1,
                         help="scaled misalignment factor; -1 disables")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard volume slices across all local devices")
     args = parser.parse_args()
     return args
 

@@ -112,6 +112,13 @@ def main(args):
         print("training from scratch...")
         net = CSModel(cfg=cfg)
 
+    if getattr(args, "data_parallel", False):
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        net.distribute(mesh)
+        print(f"data parallelism over {mesh.size} devices")
+
     print(net.cfg)
     cfg = net.cfg
 
@@ -308,6 +315,8 @@ def build_parser():
     parser.add_argument("--net_scale", type=str, default="full",
                         choices=["full", "tiny"],
                         help="tiny = reduced nets for smoke tests")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard the batch across all local devices")
     return parser
 
 

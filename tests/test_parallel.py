@@ -65,6 +65,18 @@ def test_dp_batch_is_sharded(mesh):
     assert leaf.sharding.is_fully_replicated
 
 
+def test_dp_uneven_batch_falls_back(mesh):
+    """A batch that does not divide the mesh runs as a replicated
+    single-program step instead of failing (odd-slice volumes at eval)."""
+    net = CSModel(cfg=tiny_cfg("Rec"))
+    net.distribute(mesh)
+    net.eval()
+    full, aux = _batch(shape=16, n=6, seed=14)  # 6 % 8 != 0
+    net.set_input(full, aux)
+    ret = net.test()
+    assert np.isfinite(ret)
+
+
 def test_dp_test_step(mesh):
     net = CSModel(cfg=tiny_cfg("Rec"))
     net.distribute(mesh)
