@@ -7,6 +7,7 @@ dimension is averaged (vmapped here instead of a python loop).
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -52,8 +53,15 @@ def _mi_single(I, J, bins, sigma):
 
 
 def mi_loss(I, J, bins: int = 64, sigma: float = 1.0 / 64,
-            minVal: float = 0.0, maxVal: float = 1.0):
+            minVal: float = 0.0, maxVal: float = 1.0, impl: str = None):
     """Negative MI between per-sample image pairs, averaged over the batch."""
+    impl = impl or os.environ.get("SAN_TPU_MI", "auto")
+    if impl == "pallas" or (
+        impl == "auto" and jax.default_backend() in ("tpu", "axon")
+    ):
+        from .pallas.mi import mi_loss_pallas
+
+        return mi_loss_pallas(I, J, bins, sigma, minVal, maxVal)
     centers = jnp.linspace(minVal, maxVal, bins)
     per = jax.vmap(lambda a, b: _mi_single(a, b, centers, sigma))(I, J)
     return jnp.mean(per)

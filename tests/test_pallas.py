@@ -99,6 +99,35 @@ def test_pallas_lncc_grad_matches_reference():
                                    rtol=1e-3, atol=1e-5)
 
 
+def test_pallas_mi_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.mi import mi_loss_pallas
+    from spatialalignmentnetwork_tpu.ops.mi import mi_loss
+
+    rng = np.random.default_rng(11)
+    # 48x48 = 2304 pixels: exercises chunk padding (not a _CHUNK multiple)
+    I = jnp.asarray(rng.random((2, 1, 48, 48)).astype(np.float32))
+    J = jnp.asarray(np.clip(
+        np.asarray(I) + 0.1 * rng.standard_normal((2, 1, 48, 48)), 0, 1
+    ).astype(np.float32))
+    got = float(mi_loss_pallas(I, J))
+    want = float(mi_loss(I, J, impl="jnp"))
+    assert abs(got - want) < 1e-3, (got, want)
+
+
+def test_pallas_mi_grad_matches_reference():
+    from spatialalignmentnetwork_tpu.ops.pallas.mi import mi_loss_pallas
+    from spatialalignmentnetwork_tpu.ops.mi import mi_loss
+
+    rng = np.random.default_rng(12)
+    I = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    J = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    gp = jax.grad(lambda a, b: mi_loss_pallas(a, b), argnums=(0, 1))(I, J)
+    gr = jax.grad(lambda a, b: mi_loss(a, b, impl="jnp"), argnums=(0, 1))(I, J)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
 def test_pallas_grid_sample_grads_match_reference():
     img, grid = _data(3)
 
