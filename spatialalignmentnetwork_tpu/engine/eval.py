@@ -36,6 +36,8 @@ def _save_volume(arr, path, affine):
 
 
 def main(args):
+    if getattr(args, "platform", None):
+        jax.config.update("jax_platforms", args.platform)
     affine = np.eye(4) * [0.7, -0.7, -5, 1]
     print(args)
 
@@ -128,6 +130,8 @@ def build_parser():
                         help="scaled misalignment factor; -1 disables")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard volume slices across all local devices")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu, tpu)")
     args = parser.parse_args()
     return args
 

@@ -75,6 +75,10 @@ def build_cfg(args) -> Config:
 
 
 def main(args):
+    if getattr(args, "platform", None):
+        # must happen before the first backend touch; overrides both
+        # JAX_PLATFORMS and any sitecustomize-forced platform
+        jax.config.update("jax_platforms", args.platform)
     cfg = build_cfg(args)
 
     print(args)
@@ -317,6 +321,8 @@ def build_parser():
                         help="tiny = reduced nets for smoke tests")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard the batch across all local devices")
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. cpu, tpu)")
     return parser
 
 

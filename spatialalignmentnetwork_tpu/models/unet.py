@@ -79,7 +79,11 @@ def group_norm_2(x_nchw: jnp.ndarray, eps: float = 1e-6):
     mean = jnp.mean(g, axis=2)
     n = g.shape[2]
     var = jnp.var(g, axis=2) * (n / (n - 1))  # unbiased, matches torch.std
-    std = jnp.sqrt(var)
+    # zero-variance groups (all-constant input planes) get std=0 with a
+    # ZERO gradient — sqrt's infinite slope at 0 would otherwise NaN the
+    # backward pass (see ops/fft.rss note)
+    nz = var > 0
+    std = jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
     mean = mean.reshape(b, 2, 1, 1)
     std = std.reshape(b, 2, 1, 1)
     xn = (x_nchw.reshape(b, 2, c // 2, h, w) - mean[:, :, None]) / (

@@ -96,10 +96,15 @@ def rss(x: jnp.ndarray) -> jnp.ndarray:
     """Root-sum-of-squares over the coil axis (dim 1), keepdim.
 
     Returns a real array: for complex input this is sqrt(sum |x_c|^2).
+    The gradient at an exactly-zero input is defined as 0 (sqrt's infinite
+    slope at 0 would otherwise poison training the moment any plane is
+    all-zero — e.g. a dummy 'None' modality or an empty ACS region).
     """
     assert x.ndim == 4
     if jnp.iscomplexobj(x):
         mag2 = x.real**2 + x.imag**2
     else:
         mag2 = x**2
-    return jnp.sqrt(jnp.sum(mag2, axis=1, keepdims=True))
+    s = jnp.sum(mag2, axis=1, keepdims=True)
+    nonzero = s > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, s, 1.0)), 0.0)
