@@ -66,6 +66,7 @@ class CSModel:
         self._aux = {}
         self._batch = None
         self._step_cache = {}
+        self._rng = jax.random.PRNGKey(seed + 1)
 
     # ------------------------------------------------------------------ build
     def build(self, cfg):
@@ -206,13 +207,32 @@ class CSModel:
             self.num_low_frequencies,
         )
 
-    def _prepare(self, img_full, img_aux, pruned):
-        """set_input equivalent (model.py:89-121)."""
+    def _prepare(self, img_full, img_aux, pruned, mask_params=None, key=None):
+        """set_input equivalent (model.py:89-121).
+
+        With cfg.learn_mask and a LOUPE mask, undersampling uses the
+        differentiable soft-sigmoid sample (masks.py:185-188 semantics) so
+        gradients reach the mask logits; otherwise the fixed pruned vector
+        applies outside the gradient path (model.py:111-113).
+        """
         img_k_full = fft2(img_full)
-        keep = 1.0 - pruned.astype(jnp.float32)
-        img_k_sampled = jax.lax.stop_gradient(
-            img_k_full * keep[None, None, None, :]
-        )
+        if (
+            mask_params is not None
+            and key is not None
+            and self.cfg.mask == "loupe"
+            and bool(self.cfg.get("learn_mask", False))
+        ):
+            soft, _ = masks_lib.loupe_sample(
+                mask_params["weight"], self.cfg.sparsity,
+                self.mask.pmask_slope, self.mask.sample_slope,
+                key, batch=img_full.shape[0], training=True,
+            )
+            img_k_sampled = img_k_full * soft[:, None, None, :]
+        else:
+            keep = 1.0 - pruned.astype(jnp.float32)
+            img_k_sampled = jax.lax.stop_gradient(
+                img_k_full * keep[None, None, None, :]
+            )
         img_sampled = ifft2(img_k_sampled)
         return {
             "pruned": pruned,
@@ -290,12 +310,14 @@ class CSModel:
         replicated single-program step)."""
         fn = self._make_train_step_fn(regime)
         if self._dp_active(batch_shape):
+            from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.mesh import dp_shardings
 
             state_s, batch_s = dp_shardings(self.mesh, self.state)
+            key_s = NamedSharding(self.mesh, PartitionSpec())
             return jax.jit(
                 fn,
-                in_shardings=(state_s, batch_s, batch_s),
+                in_shardings=(state_s, batch_s, batch_s, key_s),
                 donate_argnums=(0,),
             )
         return jax.jit(fn, donate_argnums=(0,))
@@ -309,20 +331,31 @@ class CSModel:
 
         with_G = regime in ("Mixed", "GAN-Only")
         with_R = regime in ("None", "Rec", "Mixed")
+        learn_mask = cfg.mask == "loupe" and bool(cfg.get("learn_mask", False))
         grad_nets = {
             "None": ("net_R",),
             "Rec": ("net_T", "net_R"),
             "Mixed": ("net_T", "net_G", "net_R"),
             "GAN-Only": ("net_T", "net_G"),
         }[regime]
+        if learn_mask and with_R:
+            grad_nets = grad_nets + ("net_mask",)
 
-        def step(state, img_full, img_aux):
-            env = self._prepare(img_full, img_aux, state["pruned"])
+        def step(state, img_full, img_aux, key):
             params = state["params"]
             stats = state["stats"]
+            env0 = (
+                None if learn_mask
+                else self._prepare(img_full, img_aux, state["pruned"])
+            )
 
             def loss_fn(train_params):
                 p = {**params, **train_params}
+                env = (
+                    self._prepare(img_full, img_aux, state["pruned"],
+                                  p["net_mask"], key)
+                    if learn_mask else env0
+                )
                 losses, imgs, new_stats = self._forward_TGR(
                     p, stats, env, train=True,
                     with_G=with_G, with_R=with_R,
@@ -350,10 +383,10 @@ class CSModel:
                     total += losses["loss_gan_G"] * w_gan
                     new_stats = {**new_stats, "net_D": stats_D}
                 losses["loss_all"] = total
-                return total, (losses, imgs, new_stats)
+                return total, (losses, imgs, new_stats, env)
 
             train_params = {k: params[k] for k in grad_nets}
-            grads, (losses, imgs, new_stats) = jax.grad(
+            grads, (losses, imgs, new_stats, env) = jax.grad(
                 loss_fn, has_aux=True
             )(train_params)
 
@@ -403,11 +436,21 @@ class CSModel:
                 losses["loss_gan_Dfake"] = lf
                 losses["loss_gan_Dreal"] = lr
 
+            new_pruned = state["pruned"]
+            if learn_mask:
+                # refresh the hard mask from the updated LOUPE logits
+                # (masks.py:178-183 eval-path semantics)
+                _, new_pruned = masks_lib.loupe_sample(
+                    new_params["net_mask"]["weight"], cfg.sparsity,
+                    self.mask.pmask_slope, self.mask.sample_slope,
+                    jax.random.fold_in(key, 1), batch=1, training=False,
+                )
+
             new_state = {
                 "params": new_params,
                 "stats": new_stats,
                 "opt": new_opt,
-                "pruned": state["pruned"],
+                "pruned": new_pruned,
             }
             aux = {**losses,
                    "img_full_rss": env["img_full_rss"],
@@ -492,7 +535,8 @@ class CSModel:
             self._step_cache[key] = self._make_train_step(
                 regime, self._batch[0].shape
             )
-        self.state, aux = self._step_cache[key](self.state, *self._batch)
+        self._rng, sub = jax.random.split(self._rng)
+        self.state, aux = self._step_cache[key](self.state, *self._batch, sub)
         self._aux = aux
 
     def test(self):

@@ -42,6 +42,34 @@ def test_magnitude_prune_via_model():
     assert pruned[[1, 5, 9]].sum() == 2  # smallest weights pruned
 
 
+def test_loupe_learn_mask_updates_logits():
+    """cfg.learn_mask routes undersampling through the differentiable
+    LOUPE soft sample so the mask logits train with net_R."""
+    cfg = tiny_cfg("None")
+    cfg.mask = "loupe"
+    cfg.learn_mask = True
+    net = CSModel(cfg=cfg)
+    w0 = np.asarray(net.state["params"]["net_mask"]["weight"]).copy()
+    full, aux = _batch(seed=21)
+    net.set_input(full, aux)
+    net.update()
+    w1 = np.asarray(net.state["params"]["net_mask"]["weight"])
+    assert np.abs(w1 - w0).sum() > 0
+    # hard mask refreshed with the target kept-line count
+    kept = (~np.asarray(net.state["pruned"])).sum()
+    assert kept == int(cfg.sparsity * cfg.shape + 0.5)
+    # without the flag the logits stay frozen (reference live-path parity)
+    cfg2 = tiny_cfg("None")
+    cfg2.mask = "loupe"
+    net2 = CSModel(cfg=cfg2)
+    w20 = np.asarray(net2.state["params"]["net_mask"]["weight"]).copy()
+    net2.set_input(full, aux)
+    net2.update()
+    assert np.abs(
+        np.asarray(net2.state["params"]["net_mask"]["weight"]) - w20
+    ).sum() == 0
+
+
 def test_fixed_mask_prune_is_noop_at_default_thres():
     cfg = tiny_cfg("None")
     net = CSModel(cfg=cfg)  # equispaced: implicit all-ones weight
