@@ -32,8 +32,6 @@ Semantics preserved from the reference:
   * Loss weights sim/smooth/gan/gan_sim from cfg (model.py:140-190).
 """
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,10 +43,8 @@ from ..ops.ssim import ssimloss
 from ..models.varnet import VarNet
 from ..models.stn import SpatialTransformer, warp, gradient_loss
 from ..models.gan import NetG, NetD, loss_gan
-from ..utils import metrics
 from ..utils import metrics_jax as jmetrics
-from .config import Config
-from .checkpoint import ckpt_save, ckpt_load, flatten_tree, unflatten_tree
+from .checkpoint import ckpt_save, ckpt_load, flatten_tree
 
 NET_NAMES = ("net_mask", "net_G", "net_D", "net_T", "net_R")
 

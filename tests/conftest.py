@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite compiles many similar jitted
+# steps; cached XLA binaries cut full-suite wall time drastically on reruns
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
