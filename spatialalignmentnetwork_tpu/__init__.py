@@ -18,3 +18,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (avoid importing jax at package import)
+    if name == "CSModel":
+        from .engine.csmodel import CSModel
+
+        return CSModel
+    if name == "Config":
+        from .engine.config import Config
+
+        return Config
+    raise AttributeError(name)

@@ -261,7 +261,12 @@ def convert_reference_checkpoint(ref_dir, out_dir, seed=0):
         sd = load_torch_state_dict(path)
         tmpl_p = flatten_tree(net.state["params"].get(name, {}))
         if name == "net_R":
-            p = varnet_to_flax(sd)
+            p = varnet_to_flax(
+                sd,
+                num_cascades=cfg.get("net_R_cascades", 8),
+                sens_pools=cfg.get("net_R_sens_pools", 4),
+                pools=cfg.get("net_R_pools", 4),
+            )
             s, extra = {}, {}
         elif name == "net_T":
             p, s = stn_to_flax(sd, tmpl_p.keys())
@@ -274,6 +279,10 @@ def convert_reference_checkpoint(ref_dir, out_dir, seed=0):
             extra = {}
         elif name == "net_mask":
             p, extra = mask_to_flax(sd)
+            # fixed masks carry an (all-ones) weight param in reference
+            # checkpoints but have no learnable weight here — drop it
+            if "weight" not in tmpl_p:
+                p.pop("weight", None)
             s = {}
         else:
             continue

@@ -1,4 +1,5 @@
 from .unet import Unet, NormUnet
 from .varnet import VarNet, SensitivityModel
 from .stn import SpatialTransformer
-from .gan import NetG, NetD, loss_gan
+from .gan import NetG, NetD, SpectralConv, loss_gan
+from .unet_lib import LibUNet, ResNet, Encoder, Decoder

@@ -28,10 +28,12 @@ from .unet import NormUnet
 
 def acs_mask(width: int, num_low_frequencies: int, dtype=jnp.float32):
     """Boolean-ish [W] mask keeping only the ACS low-frequency lines in
-    corner-DC layout: first `num_low` columns rolled by -num_low//2
-    (reference varnet.py:395-398)."""
+    corner-DC layout: first `num_low` columns rolled by (-num_low)//2
+    (reference varnet.py:395-398 — note the python precedence: the
+    reference's `-num_low_frequencies//2` floor-divides the NEGATED value,
+    which differs from -(num_low//2) for odd num_low)."""
     m = jnp.where(jnp.arange(width) < num_low_frequencies, 1.0, 0.0).astype(dtype)
-    return jnp.roll(m, -(num_low_frequencies // 2))
+    return jnp.roll(m, (-num_low_frequencies) // 2)
 
 
 class SensitivityModel(nn.Module):

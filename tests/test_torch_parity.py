@@ -202,6 +202,85 @@ def test_netg_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_convert_reference_checkpoint_end_to_end(tmp_path):
+    """Build a reference-format checkpoint directory (per-net npz of torch
+    state dicts + config JSON, basemodel.py:43-55 layout), convert it, load
+    it into CSModel, and run an eval step."""
+    import json
+    import varnet as ref_varnet
+    import gan as ref_gan
+
+    torch.manual_seed(7)
+    # tiny architectures; the config carries matching net_* overrides
+    tR = ref_varnet.VarNet(num_cascades=2, sens_chans=4, sens_pools=2,
+                           chans=4, pools=2, use_ref=True)
+    tG = ref_gan.NetG(in_channels=1, out_channels=1, layers=(4, 8))
+    tD = ref_gan.NetD(in_channels=2, layers=([4] * 1, [8] * 1))
+
+    ref_dir = tmp_path / "ref_ckpt.pt"
+    ref_dir.mkdir()
+    for name, mod in (("net_R", tR), ("net_G", tG), ("net_D", tD)):
+        sd = {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+        with open(ref_dir / name, "wb") as f:
+            np.savez(f, **sd)
+    pruned = np.zeros(16, bool)
+    pruned[5:9] = True
+    with open(ref_dir / "net_mask", "wb") as f:
+        np.savez(f, weight=np.ones(16, np.float32), pruned=pruned)
+    # sparsity 0.5 -> num_low_frequencies=2: a single ACS line (as 0.25
+    # would give at this toy width) makes the sensitivity estimate
+    # near-zero and the rss-normalized maps numerically chaotic in BOTH
+    # frameworks — ill-posed, not a conversion property
+    cfg = dict(
+        sparsity=0.5, lr=1e-4, shape=16, coils=1, reg="Rec",
+        mask="equispaced", weight_smooth=1000.0, weight_gan=0.1,
+        weight_gan_sim=1.0, weight_sim=1.0,
+        net_G_layers=[4, 8], net_D_blocks=[[4], [8]],
+        net_T_layers=[4, 8], net_R_cascades=2, net_R_chans=4,
+        net_R_sens_chans=4, net_R_pools=2, net_R_sens_pools=2,
+    )
+    with open(ref_dir / "config", "w") as f:
+        json.dump(cfg, f)
+
+    from spatialalignmentnetwork_tpu.engine.torch_compat import (
+        convert_reference_checkpoint,
+    )
+
+    out_dir = str(tmp_path / "converted.pt")
+    convert_reference_checkpoint(str(ref_dir), out_dir)
+
+    net = CSModel(ckpt=out_dir)
+    # pruned vector survived the conversion
+    np.testing.assert_array_equal(np.asarray(net.state["pruned"]), pruned)
+    # loaded model runs an eval step with the converted weights, and the
+    # recon output matches the reference VarNet on the same inputs
+    rng = np.random.default_rng(0)
+    full = jnp.asarray(
+        (rng.random((2, 1, 16, 16)) + 1j * rng.random((2, 1, 16, 16))
+         ).astype(np.complex64)
+    )
+    aux = jnp.zeros_like(full)
+    net.eval()
+    net.set_input(full, aux)
+    ret = net.test()
+    assert np.isfinite(ret)
+
+    from spatialalignmentnetwork_tpu.ops.fft import fft2 as jfft2
+    k_sampled = np.asarray(jfft2(full)) * (~pruned)[None, None, None, :]
+    warped = np.asarray(net._aux["img_warped"])
+    tR.eval()
+    with torch.no_grad():
+        want = tR(
+            torch.from_numpy(k_sampled),
+            torch.from_numpy((~pruned)[None, None, None, :]),
+            torch.from_numpy(warped),
+            net.num_low_frequencies,
+        ).numpy()
+    np.testing.assert_allclose(
+        np.asarray(net._aux["img_rec"]), want, rtol=1e-3, atol=1e-4
+    )
+
+
 def test_netd_parity():
     import gan as ref_gan
 
