@@ -130,8 +130,18 @@ def main():
         carry, _ = jax.lax.scan(body, k, (), length=n_iters)
         return carry
 
-    out = run_chain(params, k, mask, ref)
-    out.block_until_ready()  # warm compile
+    # robustness: halve the batch on resource/compile failures so the
+    # benchmark degrades instead of dying on smaller chips
+    while True:
+        try:
+            out = run_chain(params, k, mask, ref)
+            out.block_until_ready()  # warm compile
+            break
+        except Exception:
+            if B <= 1:
+                raise
+            B //= 2
+            k, ref = k[:B], ref[:B]
 
     times = []
     for _ in range(args.repeats):

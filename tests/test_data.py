@@ -106,6 +106,21 @@ def test_prefetch(data_dir):
     np.testing.assert_array_equal(pre[3][0], cat[3][0])
 
 
+def test_tiff_paired(tmp_path):
+    imageio = pytest.importorskip("imageio")
+    rng = np.random.default_rng(0)
+    img = (rng.random((20, 40)) * 255).astype(np.uint8)  # side-by-side pair
+    path = tmp_path / "pair.tiff"
+    imageio.imwrite(path, img)
+    from spatialalignmentnetwork_tpu.data.paired_dataset import TiffPaired
+
+    ds = TiffPaired([str(path)], crop=16)
+    assert len(ds) == 1
+    t1, t2 = ds[0]
+    assert t1.shape == t2.shape == (1, 16, 16)
+    assert t1.dtype == np.complex64
+
+
 # ------------------------------------------------------------ augmentation
 def _cbatch(n=2, c=1, h=24, w=24, seed=0):
     rng = np.random.default_rng(seed)
