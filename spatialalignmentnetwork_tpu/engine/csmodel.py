@@ -649,7 +649,11 @@ class CSModel:
         self.state["pruned"] = jnp.asarray(new)
 
     # ------------------------------------------------------------- checkpoint
-    def save(self, path, objects=None):
+    def save(self, path, objects=None, with_opt=False):
+        """Directory checkpoint (reference format). with_opt=True adds an
+        `opt_state` entry for exact optimizer-moment resume — an extension
+        the reference lacks (basemodel.py:149-152 drops optimizer state);
+        loaders ignore it unless present."""
         names = objects if objects is not None else list(NET_NAMES)
         ckpt = {}
         for name in names:
@@ -659,6 +663,12 @@ class CSModel:
             if name == "net_mask":
                 entry["pruned"] = np.asarray(self.state["pruned"])
             ckpt[name] = entry
+        if with_opt:
+            from flax import serialization
+
+            ckpt["opt_state"] = flatten_tree(
+                serialization.to_state_dict(self.state["opt"])
+            )
         ckpt["config"] = self.cfg
         ckpt_save(ckpt, path)
 
@@ -672,6 +682,7 @@ class CSModel:
         names = objects if objects is not None else [
             k for k in loaded.keys() if k in NET_NAMES
         ]
+        opt_flat = loaded.get("opt_state") if objects is None else None
         for name in names:
             assert name in loaded, f"{name} not in checkpoint"
             flat = loaded[name]  # flat {'params/...': arr, 'stats/...': arr}
@@ -698,6 +709,15 @@ class CSModel:
             # re-init this net's optimizer state on fresh params
             self.state["opt"][name] = self.tx[name].init(
                 self.state["params"][name]
+            )
+        if opt_flat:
+            # exact moment restore when the ckpt carries opt_state
+            from flax import serialization
+
+            template = serialization.to_state_dict(self.state["opt"])
+            restored = self._merge_like(template, opt_flat)
+            self.state["opt"] = serialization.from_state_dict(
+                self.state["opt"], restored
             )
 
     @staticmethod

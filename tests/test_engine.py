@@ -153,6 +153,41 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_checkpoint_with_optimizer_state(tmp_path):
+    cfg = tiny_cfg("None")
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=31)
+    net.set_input(full, aux)
+    net.update()  # populate AdamW moments
+    path = str(tmp_path / "ckpt_opt.pt")
+    net.save(path, with_opt=True)
+    assert os.path.exists(os.path.join(path, "opt_state"))
+
+    net2 = CSModel(ckpt=path)
+    from flax import serialization
+
+    a = serialization.to_state_dict(net.state["opt"])
+    b = serialization.to_state_dict(net2.state["opt"])
+    from spatialalignmentnetwork_tpu.engine.checkpoint import flatten_tree
+
+    fa, fb = flatten_tree(a), flatten_tree(b)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+
+    # without with_opt the moments restart (reference behavior)
+    path2 = str(tmp_path / "ckpt_plain.pt")
+    net.save(path2)
+    net3 = CSModel(ckpt=path2)
+    f3 = flatten_tree(serialization.to_state_dict(net3.state["opt"]))
+    diff = sum(
+        float(np.abs(np.asarray(f3[k]) - np.asarray(fa[k])).sum())
+        for k in fa
+        if "net_R" in k and ("mu" in k or "nu" in k)
+    )
+    assert diff > 0
+
+
 def test_test_step_metrics(tmp_path):
     cfg = tiny_cfg("Rec")
     net = CSModel(cfg=cfg)
