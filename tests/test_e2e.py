@@ -83,6 +83,26 @@ def test_train_then_eval_cli(workspace):
     assert any("grid" in n for n in names)
 
 
+def test_train_cli_data_parallel(workspace):
+    """--data_parallel shards the batch over the 8 virtual devices through
+    the real CLI path."""
+    root, csv = workspace
+    logdir = str(root / "log_dp")
+    from spatialalignmentnetwork_tpu.engine import train as train_cli
+
+    args = argparse.Namespace(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=8,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
+        net_scale="tiny", data_parallel=True, platform=None,
+    )
+    train_cli.main(args)
+    assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
+
+
 def test_resume_from_latest(workspace):
     root, csv = workspace
     logdir = str(root / "log")
