@@ -28,6 +28,23 @@ class Prefetch:
         return self.items[ind]
 
 
+def device_prefetch(iterator, size=2):
+    """Overlap host->device transfer with compute: keep `size` batches
+    already transferred (jax transfers are async; holding references to
+    in-flight device arrays is enough to pipeline them)."""
+    import collections
+
+    import jax.numpy as jnp
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append([jnp.asarray(x) for x in batch])
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Loader:
     """Iterate batches of stacked modality lists.
 

@@ -146,9 +146,11 @@ def main(args):
     if args.prefetch:
         slices_train = Prefetch(slices_train)
         slices_val = Prefetch(slices_val)
+    seed = getattr(args, "seed", None)
     loader_train = Loader(
         slices_train, args.batch_size, shuffle=True,
-        num_workers=args.num_workers, drop_last=True, seed=int(time.time()),
+        num_workers=args.num_workers, drop_last=True,
+        seed=seed if seed is not None else int(time.time()),
     )
     loader_val = Loader(
         slices_val, args.batch_size, shuffle=False,
@@ -165,7 +167,7 @@ def main(args):
     ]
 
     preprocess = _preprocess(args.aux_aug, cfg.shape)
-    rng = jax.random.PRNGKey(int(time.time()))
+    rng = jax.random.PRNGKey(seed if seed is not None else int(time.time()))
 
     print(
         f"done, {len(slices_train)} / {len(volumes_train)} for training, "
@@ -177,20 +179,32 @@ def main(args):
     signal_end = False
     iter_best = iter_cnt
     loss_best = None
+    trace_at = getattr(args, "trace_at", 0)
+    time_start = time.time()
+
+    from ..data.loader import device_prefetch
 
     for num_epoch in range(args.epoch):
         if signal_end:
             break
         ################### training ########################
-        for batch in loader_train:
+        for batch_dev0 in device_prefetch(iter(loader_train)):
             if signal_end:
                 break
             net.train()
+            time_data = time.time() - time_start
             iter_cnt += 1
             rng, k = jax.random.split(rng)
-            batch_dev = preprocess([jnp.asarray(x) for x in batch], k)
+            batch_dev = preprocess(batch_dev0, k)
+            if trace_at and iter_cnt == trace_at:
+                jax.profiler.start_trace(args.logdir + "/trace")
             net.set_input(*batch_dev)
             net.update()
+            if trace_at and iter_cnt == trace_at:
+                jax.block_until_ready(net.state["params"])
+                jax.profiler.stop_trace()
+                print(f"\nprofiler trace written to {args.logdir}/trace")
+            time_start = time.time()
 
             if iter_cnt % 50 == 0 and writer is not None:
                 last_loss = iter_cnt
@@ -221,12 +235,14 @@ def main(args):
                 (iter_cnt < 10000) and (iter_cnt % 1000 == 0)
             ):
                 last_ckpt = iter_cnt
-                net.save(args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt)
+                net.save(args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt,
+                         with_opt=getattr(args, "save_opt", False))
             if iter_cnt % 50 == 0:
-                print(
-                    f"\r[{iter_cnt}/{last_loss}/{last_disp}/{last_ckpt}]",
-                    end="", flush=True,
-                )
+                postfix = f"[{iter_cnt}/{last_loss}/{last_disp}/{last_ckpt}]"
+                # surface stalls in the input pipeline (train.py:258-261)
+                if time_data >= 0.1:
+                    postfix += f" data {time_data:.1f}"
+                print("\r" + postfix, end="", flush=True)
 
         ################### validation ########################
         net.eval()
@@ -256,7 +272,7 @@ def main(args):
                 best = args.logdir + "/ckpt/best.pt"
                 if os.path.exists(best):
                     shutil.rmtree(best)
-                net.save(best)
+                net.save(best, with_opt=getattr(args, "save_opt", False))
             elif iter_cnt >= args.intel_stop + iter_best:
                 signal_end = True
                 print("signal_end set due to intel_stop")
@@ -267,7 +283,7 @@ def main(args):
         writer.close()
     final = args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt
     if not os.path.exists(final):
-        net.save(final)
+        net.save(final, with_opt=getattr(args, "save_opt", False))
     print("saved final ckpt:", final)
 
 
@@ -323,6 +339,12 @@ def build_parser():
                         help="shard the batch across all local devices")
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu, tpu)")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="seed loader shuffling and augmentation RNG")
+    parser.add_argument("--trace_at", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace at iteration N")
+    parser.add_argument("--save_opt", action="store_true",
+                        help="include optimizer state in checkpoints")
     return parser
 
 
