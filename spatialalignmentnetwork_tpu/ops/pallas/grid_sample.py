@@ -49,8 +49,8 @@ def _apply_padding(x, size_in, padding_mode):
     return x
 
 
-def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode):
-    img = img_ref[0, 0]        # [H, W]
+def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode,
+            band):
     g = grid_ref[0]            # [BI, W_out, 2]
     gx = g[..., 0].astype(jnp.float32)
     gy = g[..., 1].astype(jnp.float32)
@@ -58,58 +58,81 @@ def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode):
     ix = _apply_padding(((gx + 1.0) * w_in - 1.0) / 2.0, w_in, padding_mode)
     iy = _apply_padding(((gy + 1.0) * h_in - 1.0) / 2.0, h_in, padding_mode)
 
-    x0 = jnp.floor(ix)
-    y0 = jnp.floor(iy)
-    wx = ix - x0
-    wy = iy - y0
-
     wo = gx.shape[1]
     p = bi * wo
-    y0f = y0.reshape(p, 1)
-    wyf = wy.reshape(p, 1)
-    x0f = x0.reshape(p, 1)
-    wxf = wx.reshape(p, 1)
+    iyf = iy.reshape(p, 1)
+    ixf = ix.reshape(p, 1)
 
-    # Mosaic requires integer iota; compare in int32 domain
-    ys = jax.lax.broadcasted_iota(jnp.int32, (p, h_in), 1)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (p, w_in), 1)
-    y0i = y0f.astype(jnp.int32)
-    x0i = x0f.astype(jnp.int32)
+    # Bilinear tap weights as a tent function: relu(1 - |coord_axis - coord|)
+    # equals (1-frac) at floor(coord) and frac at floor(coord)+1 and is zero
+    # elsewhere — including every out-of-range tap (zero-pad semantics). For
+    # border/reflection the coords are pre-clamped into [0, size-1], where
+    # the tent reproduces the edge-folded weights exactly.
+    xs = jax.lax.broadcasted_iota(jnp.int32, (p, w_in), 1).astype(jnp.float32)
+    wx_mat = jnp.maximum(1.0 - jnp.abs(xs - ixf), 0.0)
 
-    # One-hot tap weights. For zeros padding, out-of-range tap coordinates
-    # simply match no iota column and contribute 0 — exactly the zero-pad
-    # semantics. For border/reflection coords are already in [0, size-1];
-    # the +1 tap can reach size, where its weight is provably 0, so the
-    # no-match behaviour is also correct.
-    wy_mat = (
-        jnp.where(ys == y0i, 1.0, 0.0) * (1.0 - wyf)
-        + jnp.where(ys == y0i + 1, 1.0, 0.0) * wyf
-    )
-    wx_mat = (
-        jnp.where(xs == x0i, 1.0, 0.0) * (1.0 - wxf)
-        + jnp.where(xs == x0i + 1, 1.0, 0.0) * wxf
-    )
+    def finish(rows):
+        # stage 2: x-selection on the VPU
+        out = jnp.sum(rows * wx_mat, axis=1)
+        out_ref[0, 0] = out.reshape(bi, wo).astype(out_ref.dtype)
 
-    # stage 1: y-interpolation on the MXU: [P, H] @ [H, W] -> [P, W]
-    rows = jnp.dot(
-        wy_mat, img.astype(jnp.float32), preferred_element_type=jnp.float32
-    )
-    # stage 2: x-selection on the VPU
-    out = jnp.sum(rows * wx_mat, axis=1)
-    out_ref[0, 0] = out.reshape(bi, wo).astype(out_ref.dtype)
+    # band analysis: displacement fields are smooth, so an output row block
+    # usually reads a narrow band of source rows. Restrict the stage-1
+    # contraction to that band ([P, band] @ [band, W]) — an h_in/band FLOP
+    # cut — and fall back to the full contraction for blocks whose taps
+    # exceed the band (large deformations). The needed-row range uses taps
+    # clamped into [0, h-1]: out-of-range taps contribute zero and match no
+    # band row regardless, so clamping only widens the band conservatively.
+    y0i = jnp.floor(iyf).astype(jnp.int32)
+    t0 = jnp.clip(y0i, 0, h_in - 1)
+    t1 = jnp.clip(y0i + 1, 0, h_in - 1)
+    band_lo = jnp.min(t0)
+    band_hi = jnp.max(t1) + 1  # exclusive
+    band_start = jnp.clip(band_lo, 0, max(h_in - band, 0))
+    # Mosaic requires dynamic sublane-dim slice starts to be provable
+    # multiples of 8; floor-align (the band only widens downward)
+    band_start = pl.multiple_of((band_start // 8) * 8, 8)
+    fits = band_hi - band_start <= band
+
+    @pl.when(fits)
+    def _():
+        img_band = img_ref[0, 0, pl.ds(band_start, band), :]
+        ys_b = (
+            jax.lax.broadcasted_iota(jnp.int32, (p, band), 1) + band_start
+        ).astype(jnp.float32)
+        wy_band = jnp.maximum(1.0 - jnp.abs(ys_b - iyf), 0.0)
+        finish(jnp.dot(
+            wy_band, img_band.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ))
+
+    @pl.when(jnp.logical_not(fits))
+    def _():
+        img = img_ref[0, 0]
+        ys = jax.lax.broadcasted_iota(jnp.int32, (p, h_in), 1).astype(
+            jnp.float32
+        )
+        wy_mat = jnp.maximum(1.0 - jnp.abs(ys - iyf), 0.0)
+        finish(jnp.dot(
+            wy_mat, img.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ))
 
 
-def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=12 * 1024 * 1024):
-    """Largest power-of-two row block whose one-hot matrices fit VMEM."""
-    for bi in (16, 8, 4, 2, 1):
+def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=10 * 1024 * 1024):
+    """Output row-block height. Mosaic's tiling requires the output block's
+    sublane dim to be a multiple of 8 (or the whole axis), so only 16/8 (or
+    ho itself) are candidates; prefer the larger when the one-hot matrices
+    + fallback-path temporaries fit the scoped-VMEM budget."""
+    for bi in (16, 8):
         if ho % bi:
             continue
         p = bi * wo
-        # wy_mat + wx_mat + rows + out, f32
-        need = 4 * (p * h_in + p * w_in + p * w_in + p)
+        # wy_mat + wx_mat + rows, f32 (tent-formulation live set)
+        need = 4 * (p * h_in + 2 * p * w_in)
         if need < vmem_budget:
             return bi
-    return 1
+    return ho
 
 
 def grid_sample_pallas(img, grid, padding_mode="zeros", interpret=None):
@@ -135,8 +158,9 @@ def _forward(img, grid, padding_mode, interpret):
     bi = _pick_block_rows(ho, h, w, wo)
     n_blocks = ho // bi
 
+    band = min(64, h)  # source-row band height for the fast path
     kernel = functools.partial(
-        _kernel, h_in=h, w_in=w, bi=bi, padding_mode=padding_mode
+        _kernel, h_in=h, w_in=w, bi=bi, padding_mode=padding_mode, band=band
     )
     return pl.pallas_call(
         kernel,

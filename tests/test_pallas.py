@@ -27,6 +27,44 @@ def test_pallas_grid_sample_matches_reference_all_modes():
         )
 
 
+def test_pallas_grid_sample_banded_fast_path():
+    """Small smooth displacements (the registration regime) exercise the
+    banded stage-1 contraction; parity must hold exactly."""
+    rng = np.random.default_rng(20)
+    n, c, h, w = 2, 2, 96, 96
+    img = jnp.asarray(rng.standard_normal((n, c, h, w)).astype(np.float32))
+    from spatialalignmentnetwork_tpu.ops.grid_sample import identity_grid
+
+    ident = identity_grid((n, c, h, w))
+    offset = jnp.asarray(
+        (rng.standard_normal((n, h, w, 2)) * 0.02).astype(np.float32)
+    )
+    grid = ident + offset  # taps within a few rows of the identity band
+    for pm in ("zeros", "border", "reflection"):
+        got = grid_sample_pallas(img, grid, pm)
+        want = ref_sample(img, grid, pm)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
+        )
+
+
+def test_pallas_grid_sample_band_boundary_taps():
+    """Taps exactly at rows -1/0 and h-1/h (zero-pad edges) stay correct in
+    the banded path."""
+    rng = np.random.default_rng(21)
+    img = jnp.asarray(rng.standard_normal((1, 1, 96, 96)).astype(np.float32))
+    from spatialalignmentnetwork_tpu.ops.grid_sample import identity_grid
+
+    grid = identity_grid((1, 1, 96, 96))
+    # shift everything half a pixel beyond the top edge
+    grid = grid.at[..., 1].add(-1.5 / 96)
+    got = grid_sample_pallas(img, grid, "zeros")
+    want = ref_sample(img, grid, "zeros")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
+    )
+
+
 def test_pallas_grid_sample_out_of_bounds():
     img, grid = _data(1, scale=2.5)
     for pm in ("zeros", "border", "reflection"):
