@@ -17,8 +17,6 @@ torch bicubic uses a=-0.75; the deformation-field distributions are
 statistically indistinguishable for this use (random smooth fields).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

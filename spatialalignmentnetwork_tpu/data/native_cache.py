@@ -145,8 +145,6 @@ class NativePairedSlices:
 
 def build_caches_from_csv(csv_path, protocals, out_dir):
     """Compile a paired CSV manifest into one cache file per protocol."""
-    from .paired_dataset import get_paired_volume_datasets
-
     os.makedirs(out_dir, exist_ok=True)
     # resolve each protocol's volume file list via the python dataset layer
     basepath = os.path.dirname(os.path.abspath(csv_path))

@@ -15,7 +15,6 @@ basemodel.py:149-152): resume restarts optimizer moments.
 import os
 
 import numpy as np
-import jax
 
 from .config import Config
 

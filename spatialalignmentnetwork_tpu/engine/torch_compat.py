@@ -27,7 +27,6 @@ Entry point: convert_reference_checkpoint(ref_ckpt_dir, out_dir).
 """
 
 import os
-import json
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Spectral normalization uses power iteration with state in 'batch_stats'
 NHWC throughout; NCHW at the public module boundary.
 """
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

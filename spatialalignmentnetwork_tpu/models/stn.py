@@ -12,7 +12,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import nchw_to_nhwc, nhwc_to_nchw
+from .layers import nchw_to_nhwc
 from .unet_lib import LibUNet
 from ..ops.grid_sample import grid_sample, identity_grid
 
