@@ -1,1 +1,7 @@
-from .mesh import make_mesh, dp_shardings, shard_batch, replicate_state
+from .mesh import (
+    make_mesh,
+    dp_shardings,
+    shard_batch,
+    shard_batch_multihost,
+    replicate_state,
+)

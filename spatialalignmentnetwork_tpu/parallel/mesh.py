@@ -51,3 +51,23 @@ def shard_batch(mesh: Mesh, batch):
     """Shard each array's leading (batch) axis across the mesh."""
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.device_put(batch, sharding)
+
+
+def shard_batch_multihost(mesh: Mesh, local_batch):
+    """Assemble a GLOBAL batch from each process's local shard.
+
+    On a multi-host slice every host loads only the rows destined for its
+    addressable devices (global_batch = local_batch * num_processes);
+    jax.make_array_from_process_local_data glues the host shards into one
+    global array without any cross-host data movement. On a single host
+    this degenerates to shard_batch.
+    """
+    import numpy as np
+
+    sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)
+        ),
+        local_batch,
+    )

@@ -77,6 +77,19 @@ def test_dp_uneven_batch_falls_back(mesh):
     assert np.isfinite(ret)
 
 
+def test_multihost_assembly_single_process(mesh):
+    """shard_batch_multihost degenerates to shard_batch on one host."""
+    from spatialalignmentnetwork_tpu.parallel.mesh import (
+        shard_batch, shard_batch_multihost,
+    )
+
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    a = shard_batch(mesh, x)
+    b = shard_batch_multihost(mesh, x)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert b.sharding.is_equivalent_to(a.sharding, 2)
+
+
 def test_dp_test_step(mesh):
     net = CSModel(cfg=tiny_cfg("Rec"))
     net.distribute(mesh)
