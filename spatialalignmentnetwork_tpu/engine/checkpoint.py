@@ -77,3 +77,20 @@ def ckpt_load(folder: str) -> dict:
             with np.load(path, allow_pickle=False) as z:
                 ckpt[key] = {k: z[k] for k in z.files}
     return ckpt
+
+
+if __name__ == "__main__":
+    # checkpoint round-trip / re-pack CLI (reference basemodel.py:184-197):
+    #   python -m ...engine.checkpoint CKPT [OUT]
+    # with OUT: load CKPT and save a fresh copy at OUT; without: rewrite
+    # CKPT in place (normalizes any loadable layout to the native one).
+    import shutil
+    import sys
+
+    src = sys.argv[1]
+    ckpt = ckpt_load(src)
+    if len(sys.argv) >= 3:
+        ckpt_save(ckpt, sys.argv[2])
+    else:
+        shutil.rmtree(src)
+        ckpt_save(ckpt, src)
