@@ -114,7 +114,7 @@ def main(args):
     else:
         assert args.load_nets is None
         print("training from scratch...")
-        net = CSModel(cfg=cfg)
+        net = CSModel(cfg=cfg, seed=getattr(args, "seed", None) or 0)
 
     if getattr(args, "data_parallel", False):
         from ..parallel.mesh import make_mesh
