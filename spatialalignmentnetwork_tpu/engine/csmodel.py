@@ -574,6 +574,34 @@ class CSModel:
                 vis["histograms"]["weights"] = {"values": np.asarray(w)}
         return vis
 
+    # ------------------------------------------------------------- serving
+    def reconstruct(self, img_full, img_aux=None):
+        """Serving path: undersample per the model's mask and reconstruct.
+
+        img_full: complex [N, coils, H, W] fully-sampled target image (the
+        k-space is derived with the model's own mask — matching eval
+        semantics); img_aux: reference modality or None. Returns the
+        aligned-reference-guided reconstruction [N, 1, H, W] (real).
+        Eval-mode, jitted, cached per batch shape.
+        """
+        img_full = jnp.asarray(img_full)
+        img_aux = (
+            jnp.zeros_like(img_full) if img_aux is None else jnp.asarray(img_aux)
+        )
+        key = ("recon", img_full.shape)
+        if key not in self._step_cache:
+
+            def step(state, img_full, img_aux):
+                env = self._prepare(img_full, img_aux, state["pruned"])
+                _, imgs, _ = self._forward_TGR(
+                    state["params"], state["stats"], env, train=False,
+                    with_G=False, with_R=True,
+                )
+                return imgs["img_rec"]
+
+            self._step_cache[key] = jax.jit(step)
+        return self._step_cache[key](self.state, img_full, img_aux)
+
     # ------------------------------------------------------------- pruning
     def taylor_step(self):
         """Accumulate Taylor saliency for the current batch: the squared

@@ -153,6 +153,25 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_reconstruct_serving_api():
+    cfg = tiny_cfg("Rec")
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=41)
+    rec = net.reconstruct(full, aux)
+    assert rec.shape == (4, 1, 16, 16)
+    assert np.isfinite(np.asarray(rec)).all()
+    # matches the test step's img_rec exactly (same eval-mode path)
+    net.eval()
+    net.set_input(full, aux)
+    net.test()
+    np.testing.assert_allclose(
+        np.asarray(rec), np.asarray(net._aux["img_rec"]), rtol=1e-5, atol=1e-6
+    )
+    # aux-less call works (dummy zeros modality)
+    rec2 = net.reconstruct(full)
+    assert np.isfinite(np.asarray(rec2)).all()
+
+
 def test_checkpoint_with_optimizer_state(tmp_path):
     cfg = tiny_cfg("None")
     net = CSModel(cfg=cfg)
