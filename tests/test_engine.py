@@ -153,6 +153,25 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_bf16_mixed_precision_step():
+    """cfg.use_amp=True (bf16 compute policy) trains without NaN/Inf and
+    keeps params in fp32."""
+    cfg = tiny_cfg("Rec")
+    cfg.use_amp = True
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=51)
+    for _ in range(2):
+        net.set_input(full, aux)
+        net.update()
+    scalars = net.get_vis("scalars")["scalars"]
+    assert all(np.isfinite(v) for v in scalars.values()), scalars
+    leaf = jax.tree_util.tree_leaves(net.state["params"]["net_R"])[0]
+    assert leaf.dtype == jnp.float32  # params stay fp32 under bf16 compute
+    net.eval()
+    net.set_input(full, aux)
+    assert np.isfinite(net.test())
+
+
 def test_reconstruct_serving_api():
     cfg = tiny_cfg("Rec")
     net = CSModel(cfg=cfg)
