@@ -70,6 +70,62 @@ def bench_train(args):
     }))
 
 
+def bench_input(args):
+    """Host input-pipeline throughput: native C++ slice cache vs the python
+    h5 loader, assembling normalized center-cropped complex64 batches."""
+    import os
+    import tempfile
+    import time as _time
+
+    import h5py
+
+    from spatialalignmentnetwork_tpu.data import native_cache as NC
+    from spatialalignmentnetwork_tpu.data.paired_dataset import (
+        get_paired_volume_datasets, ConcatDataset,
+    )
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_input_")
+    rows = []
+    for v in range(4):
+        for proto in ("T1", "T2"):
+            img = rng.random((32, 352, 352)).astype(np.float32)
+            with h5py.File(os.path.join(tmp, f"p{v}_{proto}.h5"), "w") as h5:
+                h5.create_dataset("image", data=img)
+                h5.attrs["max"] = float(img.max())
+                h5.attrs["acquisition"] = proto
+        rows.append(f"p{v}_T1.h5,p{v}_T2.h5")
+    csv = os.path.join(tmp, "pairs.csv")
+    with open(csv, "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    B, crop, iters = args.batch, 320, args.iters
+
+    caches = NC.build_caches_from_csv(csv, ["T2", "T1"], tmp + "/cache")
+    ds = NC.NativePairedSlices(caches, crop=crop)
+    idx = rng.integers(0, len(ds), size=(iters, B))
+    ds.batch(idx[0])  # warm page cache
+    t0 = _time.perf_counter()
+    for i in range(iters):
+        ds.batch(idx[i])
+    native_sps = B * iters / (_time.perf_counter() - t0)
+
+    vols = get_paired_volume_datasets(csv, protocals=["T2", "T1"], crop=crop)
+    cat = ConcatDataset(vols)
+    t0 = _time.perf_counter()
+    for i in range(iters):
+        items = [cat[int(j)] for j in idx[i]]
+        [np.stack([it[m] for it in items]) for m in range(2)]
+    python_sps = B * iters / (_time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "input_pipeline_slices_per_sec_native_320",
+        "value": round(native_sps, 1),
+        "unit": "slices/s",
+        "vs_baseline": round(native_sps / max(python_sps, 1e-9), 2),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -79,8 +135,12 @@ def main():
     p.add_argument("--fft", type=str, default="auto",
                    choices=["auto", "xla", "matmul"])
     p.add_argument("--mode", type=str, default="recon",
-                   choices=["recon", "train"])
+                   choices=["recon", "train", "input"])
     args = p.parse_args()
+
+    if args.mode == "input":
+        bench_input(args)
+        return
 
     import jax
     import jax.numpy as jnp

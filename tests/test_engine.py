@@ -153,6 +153,24 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_training_determinism():
+    """Same seed + same batches -> bit-identical parameter trajectories."""
+    full, aux = _batch(seed=61)
+    nets = []
+    for _ in range(2):
+        net = CSModel(cfg=tiny_cfg("Rec"), seed=7)
+        for _ in range(2):
+            net.set_input(full, aux)
+            net.update()
+        nets.append(net)
+    for name in ("net_T", "net_R"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(nets[0].state["params"][name]),
+            jax.tree_util.tree_leaves(nets[1].state["params"][name]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_mixed_precision_step():
     """cfg.use_amp=True (bf16 compute policy) trains without NaN/Inf and
     keeps params in fp32."""
