@@ -153,6 +153,26 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_export_reconstruct_roundtrip(tmp_path):
+    """Serving export: serialize the recon path, reload, byte-compare."""
+    from spatialalignmentnetwork_tpu.engine.export import (
+        export_reconstruct, load_exported,
+    )
+
+    cfg = tiny_cfg("Rec")
+    net = CSModel(cfg=cfg)
+    full, aux = _batch(seed=71)
+    want = np.asarray(net.reconstruct(full, aux))
+
+    path = str(tmp_path / "recon.bin")
+    blob = export_reconstruct(net, batch_shape=full.shape, path=path)
+    assert os.path.getsize(path) == len(blob) > 0
+
+    fn = load_exported(path)
+    got = np.asarray(fn(jnp.asarray(full), jnp.asarray(aux)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_training_determinism():
     """Same seed + same batches -> bit-identical parameter trajectories."""
     full, aux = _batch(seed=61)
