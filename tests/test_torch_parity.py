@@ -202,6 +202,95 @@ def test_netg_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_varnet_parity_full_architecture():
+    """The EXACT production VarNet config (8 cascades, sens 8/4, chans 18,
+    pools 4, use_ref — model.py:64-71) at reduced spatial size."""
+    import varnet as ref_varnet
+
+    torch.manual_seed(10)
+    kwargs = dict(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
+                  pools=4)
+    tnet = ref_varnet.VarNet(use_ref=True, **kwargs)
+    tnet.eval()
+
+    size, n = 64, 1
+    rng = np.random.default_rng(11)
+    pruned = rng.random(size) > 0.25
+    pruned[:8] = False
+    pruned[-8:] = False
+    mask = ~pruned
+    k = ((rng.standard_normal((n, 1, size, size))
+          + 1j * rng.standard_normal((n, 1, size, size))).astype(np.complex64)
+         * mask[None, None, None, :])
+    ref_img = np.abs(rng.standard_normal((n, 1, size, size))).astype(np.float32)
+    num_low = int(size * 0.25 * 0.32)  # 5 — odd-roll path included
+
+    with torch.no_grad():
+        want = tnet(
+            torch.from_numpy(k), torch.from_numpy(mask[None, None, None, :]),
+            torch.from_numpy(ref_img), num_low,
+        ).numpy()
+
+    from spatialalignmentnetwork_tpu.models.varnet import VarNet
+
+    jnet = VarNet(use_ref=True, **kwargs)
+    tmpl = jnet.init(jax.random.PRNGKey(0), jnp.asarray(k), jnp.asarray(mask),
+                     jnp.asarray(ref_img), num_low)
+    flat = TC.varnet_to_flax(_sd(tnet), num_cascades=8, sens_pools=4, pools=4)
+    params = _merge(tmpl["params"], flat)
+    got = np.asarray(
+        jnet.apply({"params": params}, jnp.asarray(k), jnp.asarray(mask),
+                   jnp.asarray(ref_img), num_low)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_gan_parity_full_architecture():
+    """Production NetG (64..512 layers) and NetD blocks (model.py:58-61) at
+    reduced spatial size."""
+    import gan as ref_gan
+
+    torch.manual_seed(12)
+    tG = ref_gan.NetG(in_channels=1, out_channels=1,
+                      layers=(64, 128, 256, 512, 512))
+    tG.eval()
+    x = np.abs(_rand((1, 1, 64, 64), 13))
+    with torch.no_grad():
+        wantG = tG(torch.from_numpy(x)).numpy()
+
+    from spatialalignmentnetwork_tpu.models.gan import NetG, NetD
+    from spatialalignmentnetwork_tpu.engine.checkpoint import flatten_tree
+
+    jG = NetG()  # default = production layers
+    vs = jG.init({"params": jax.random.PRNGKey(0)}, jnp.asarray(x), train=False)
+    p, s = TC.netg_to_flax(_sd(tG), flatten_tree(vs["params"]).keys())
+    gotG = np.asarray(jG.apply(
+        {"params": _merge(vs["params"], p),
+         "batch_stats": _merge(vs["batch_stats"], s)},
+        jnp.asarray(x), train=False,
+    ))
+    np.testing.assert_allclose(gotG, wantG, rtol=2e-3, atol=2e-4)
+
+    torch.manual_seed(13)
+    tD = ref_gan.NetD(in_channels=2,
+                      layers=([64] * 2, [128] * 2, [256] * 2, [256] * 2,
+                              [256] * 2))
+    tD.eval()
+    xd = _rand((1, 2, 64, 64), 14)
+    with torch.no_grad():
+        wantD = tD(torch.from_numpy(xd)).numpy()
+    jD = NetD()
+    vd = jD.init({"params": jax.random.PRNGKey(1)}, jnp.asarray(xd),
+                 train=False)
+    p, s = TC.netd_to_flax(_sd(tD), flatten_tree(vd["params"]).keys())
+    gotD = np.asarray(jD.apply(
+        {"params": _merge(vd["params"], p),
+         "batch_stats": _merge(vd["batch_stats"], s)},
+        jnp.asarray(xd), train=False,
+    ))
+    np.testing.assert_allclose(gotD, wantD, rtol=2e-3, atol=2e-4)
+
+
 def test_convert_reference_checkpoint_end_to_end(tmp_path):
     """Build a reference-format checkpoint directory (per-net npz of torch
     state dicts + config JSON, basemodel.py:43-55 layout), convert it, load
