@@ -144,10 +144,13 @@ def grid_sample(
 def warp(img: jnp.ndarray, grid: jnp.ndarray, padding_mode: str = "zeros") -> jnp.ndarray:
     """Warp an image (real or complex) by a sampling grid.
 
-    Complex images are warped as real+imag separately (augment.py:62-64).
+    Complex images warp real and imag parts with identical semantics
+    (augment.py:62-64); they are packed as extra channels so one sampler
+    pass covers both.
     """
     if jnp.iscomplexobj(img):
-        return grid_sample(img.real, grid, padding_mode) + 1j * grid_sample(
-            img.imag, grid, padding_mode
-        )
+        c = img.shape[1]
+        packed = jnp.concatenate([img.real, img.imag], axis=1)
+        out = grid_sample(packed, grid, padding_mode)
+        return out[:, :c] + 1j * out[:, c:]
     return grid_sample(img, grid, padding_mode)
