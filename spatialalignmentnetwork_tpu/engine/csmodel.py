@@ -304,7 +304,12 @@ class CSModel:
         """Jitted train step; data-parallel over self.mesh when distributed
         (and the batch divides the mesh — otherwise fall back to a
         replicated single-program step)."""
-        fn = self._make_train_step_fn(regime)
+        accum = int(self.cfg.get("grad_accum", 1))
+        fn = (
+            self._make_accum_step_fn(regime, accum)
+            if accum > 1
+            else self._make_train_step_fn(regime)
+        )
         if self._dp_active(batch_shape):
             from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.mesh import dp_shardings
@@ -453,6 +458,90 @@ class CSModel:
                    "img_sampled_rss": env["img_sampled_rss"],
                    "img_aux_rss": env["img_aux_rss"],
                    **imgs}
+            return new_state, aux
+
+        return step
+
+    def _make_accum_step_fn(self, regime, accum):
+        """Gradient-accumulation train step (cfg.grad_accum > 1).
+
+        The global batch is split into `accum` micro-batches scanned
+        sequentially: gradients average across micro-batches before ONE
+        optimizer step (large effective batches beyond HBM limits).
+        Supported for the recon regimes (None/Rec); the GAN regimes'
+        two-pass update has no well-defined accumulation semantics in the
+        reference. BatchNorm stats update per micro-batch (torch
+        grad-accum semantics).
+        """
+        cfg = self.cfg
+        w_sim = cfg.weight_sim
+        w_smooth = cfg.weight_smooth
+        assert regime in ("None", "Rec"), (
+            "grad_accum supports the recon regimes only"
+        )
+        grad_nets = ("net_R",) if regime == "None" else ("net_T", "net_R")
+
+        def step(state, img_full, img_aux, key):
+            n = img_full.shape[0]
+            assert n % accum == 0, (n, accum)
+            m = n // accum
+            mf = img_full.reshape(accum, m, *img_full.shape[1:])
+            ma = img_aux.reshape(accum, m, *img_aux.shape[1:])
+            params = state["params"]
+
+            def loss_fn(train_params, stats, f, a):
+                p = {**params, **train_params}
+                env = self._prepare(f, a, state["pruned"])
+                losses, imgs, new_stats = self._forward_TGR(
+                    p, stats, env, train=True, with_G=False, with_R=True,
+                    stop_T=(regime == "None"),
+                )
+                total = losses["loss_sim"] * w_sim
+                if regime != "None":
+                    total = total + losses["loss_smooth"] * w_smooth
+                losses["loss_all"] = total
+                return total, (losses, imgs, new_stats, env)
+
+            train_params = {k: params[k] for k in grad_nets}
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, train_params)
+
+            def body(carry, xs):
+                g_acc, stats = carry
+                f, a = xs
+                grads, (losses, imgs, new_stats, env) = jax.grad(
+                    loss_fn, has_aux=True
+                )(train_params, stats, f, a)
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+                return (g_acc, new_stats), (losses, imgs, env)
+
+            (g_sum, new_stats), (losses, imgs, env) = jax.lax.scan(
+                body, (zero_grads, state["stats"]), (mf, ma)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+
+            new_params = dict(params)
+            new_opt = dict(state["opt"])
+            for name in grad_nets:
+                updates, new_opt[name] = self.tx[name].update(
+                    grads[name], state["opt"][name], params[name]
+                )
+                new_params[name] = optax.apply_updates(params[name], updates)
+
+            new_state = {
+                "params": new_params,
+                "stats": new_stats,
+                "opt": new_opt,
+                "pruned": state["pruned"],
+            }
+            # aux: micro-batch outputs re-stitched into the global batch
+            flat = lambda x: x.reshape(n, *x.shape[2:])
+            aux = {k: jnp.mean(v) for k, v in losses.items()}
+            aux.update({
+                "img_full_rss": flat(env["img_full_rss"]),
+                "img_sampled_rss": flat(env["img_sampled_rss"]),
+                "img_aux_rss": flat(env["img_aux_rss"]),
+                **{k: flat(v) for k, v in imgs.items()},
+            })
             return new_state, aux
 
         return step

@@ -153,6 +153,46 @@ def test_checkpoint_roundtrip_and_partial_load(tmp_path):
     assert diff_G > 0  # net_G was NOT loaded
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 on a batch of 4 must produce the same parameter update
+    as the plain step on the same batch (loss is a mean, so averaged
+    micro-batch grads == full-batch grads; BN uses micro-batch stats, so
+    compare the BN-free net_R only ... net_R has no BN at all)."""
+    full, aux = _batch(seed=81)
+    # zeros aux: net_T's train-mode BatchNorm output is then independent of
+    # the batch split, isolating the gradient-averaging equivalence
+    zeros_aux = np.zeros_like(aux)
+
+    cfg_a = tiny_cfg("None")
+    net_a = CSModel(cfg=cfg_a, seed=3)
+    net_a.set_input(full, zeros_aux)
+    net_a.update()
+
+    cfg_b = tiny_cfg("None")
+    cfg_b.grad_accum = 2
+    net_b = CSModel(cfg=cfg_b, seed=3)
+    net_b.set_input(full, zeros_aux)
+    net_b.update()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(net_a.state["params"]["net_R"]),
+        jax.tree_util.tree_leaves(net_b.state["params"]["net_R"]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
+    scal_b = net_b.get_vis("scalars")["scalars"]
+    assert np.isfinite(scal_b["loss_all"])
+
+    # Rec regime runs too (T gets gradients through the ref channel)
+    cfg_c = tiny_cfg("Rec")
+    cfg_c.grad_accum = 2
+    net_c = CSModel(cfg=cfg_c, seed=3)
+    net_c.set_input(full, aux)
+    net_c.update()
+    assert np.isfinite(net_c.get_vis("scalars")["scalars"]["loss_all"])
+
+
 def test_export_reconstruct_roundtrip(tmp_path):
     """Serving export: serialize the recon path, reload, byte-compare."""
     from spatialalignmentnetwork_tpu.engine.export import (
