@@ -42,9 +42,18 @@ def unflatten_tree(flat: dict) -> dict:
 
 
 def ckpt_save(ckpt: dict, folder: str):
-    """ckpt: {'net_X': nested tree or flat dict, ..., 'config': Config}."""
+    """ckpt: {'net_X': nested tree or flat dict, ..., 'config': Config}.
+
+    An existing checkpoint DIRECTORY is overwritten (resume re-passes
+    earlier periodic-checkpoint names; the reference's torch.save also
+    overwrites silently). A same-named non-directory is refused.
+    """
     assert isinstance(ckpt, dict)
-    assert not os.path.exists(folder), folder + " already exists"
+    if os.path.exists(folder):
+        assert os.path.isdir(folder), folder + " exists and is not a directory"
+        import shutil
+
+        shutil.rmtree(folder)
     os.makedirs(folder)
     for key, val in ckpt.items():
         path = os.path.join(folder, key)

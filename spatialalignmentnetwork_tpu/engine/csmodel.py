@@ -225,9 +225,8 @@ class CSModel:
             )
             img_k_sampled = img_k_full * soft[:, None, None, :]
         else:
-            keep = 1.0 - pruned.astype(jnp.float32)
             img_k_sampled = jax.lax.stop_gradient(
-                img_k_full * keep[None, None, None, :]
+                masks_lib.apply_mask(img_k_full, pruned)
             )
         img_sampled = ifft2(img_k_sampled)
         return {
@@ -478,6 +477,10 @@ class CSModel:
         w_smooth = cfg.weight_smooth
         assert regime in ("None", "Rec"), (
             "grad_accum supports the recon regimes only"
+        )
+        assert not cfg.get("learn_mask", False), (
+            "grad_accum does not route gradients to the LOUPE mask; "
+            "disable learn_mask or grad_accum"
         )
         grad_nets = ("net_R",) if regime == "None" else ("net_T", "net_R")
 

@@ -58,8 +58,11 @@ def _dft2(x, inverse):
     x = x.astype(jnp.complex64)
     # transform H axis: sum_h Wh[k, h] x[..., h, w]; DFT matrices are
     # symmetric so the W-axis transform is a plain right-multiply.
-    x = jnp.einsum("kh,nchw->nckw", wh, x)
-    return jnp.einsum("nckw,wl->nckl", x, ww)
+    # precision=HIGHEST keeps the unitary transform at true f32 (TPU default
+    # matmul precision truncates operands to bf16).
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("kh,nchw->nckw", wh, x, precision=hi)
+    return jnp.einsum("nckw,wl->nckl", x, ww, precision=hi)
 
 
 def fft2(x: jnp.ndarray) -> jnp.ndarray:

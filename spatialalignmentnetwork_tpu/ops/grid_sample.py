@@ -45,7 +45,12 @@ def affine_grid(theta: jnp.ndarray, size, align_corners: bool = False) -> jnp.nd
         axis=-1,
     )  # [H, W, 3]
     # grid[n,h,w,k] = sum_j theta[n,k,j] * base[h,w,j]
-    grid = jnp.einsum("nkj,hwj->nhwk", theta, base)
+    # precision=HIGHEST: TPU default matmul precision truncates f32 operands
+    # to bf16, which would quantize every sampling grid (incl. identity) by
+    # up to ~0.25 px at 320 resolution
+    grid = jnp.einsum(
+        "nkj,hwj->nhwk", theta, base, precision=jax.lax.Precision.HIGHEST
+    )
     if n > 1 and grid.shape[0] == 1:
         grid = jnp.broadcast_to(grid, (n, h, w, 2))
     return grid

@@ -60,20 +60,18 @@ def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode,
     wo = gx.shape[1]
     p = bi * wo
     iyf = iy.reshape(p, 1)
-    ixf = ix.reshape(p, 1)
 
-    # Bilinear tap weights as a tent function: relu(1 - |coord_axis - coord|)
-    # equals (1-frac) at floor(coord) and frac at floor(coord)+1 and is zero
-    # elsewhere — including every out-of-range tap (zero-pad semantics). For
-    # border/reflection the coords are pre-clamped into [0, size-1], where
-    # the tent reproduces the edge-folded weights exactly.
-    xs = jax.lax.broadcasted_iota(jnp.int32, (p, w_in), 1).astype(jnp.float32)
-    wx_mat = jnp.maximum(1.0 - jnp.abs(xs - ixf), 0.0)
-
-    def finish(rows):
-        # stage 2: x-selection on the VPU
-        out = jnp.sum(rows * wx_mat, axis=1)
-        out_ref[0, 0] = out.reshape(bi, wo).astype(out_ref.dtype)
+    # HIGHEST-precision matmuls (TPU default truncates f32 operands to
+    # bf16, visibly corrupting the sampled image) need ~2.5x VMEM scratch;
+    # process the block a few output rows at a time so each sub-pass's
+    # live set fits. Chunking follows the BI axis (slices stay inside the
+    # leading register tile, which Mosaic requires).
+    rows_per = bi
+    while (rows_per * wo) * (h_in + 2 * w_in) * 4 * 3 > 4 * 1024 * 1024 \
+            and rows_per % 2 == 0:
+        rows_per //= 2
+    n_chunks = bi // rows_per
+    pc = rows_per * wo
 
     # band analysis: displacement fields are smooth, so an output row block
     # usually reads a narrow band of source rows. Restrict the stage-1
@@ -93,29 +91,47 @@ def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode,
     band_start = pl.multiple_of((band_start // 8) * 8, 8)
     fits = band_hi - band_start <= band
 
+    def run(src_rows, y_offset):
+        """Sample all output rows of the block against `src_rows`.
+
+        Bilinear tap weights form a tent: relu(1 - |row - y|) equals
+        (1-frac) at floor(y), frac at floor(y)+1, and zero elsewhere —
+        including every out-of-range tap (zero-pad semantics). For
+        border/reflection the coords are pre-clamped into [0, size-1],
+        where the tent reproduces the edge-folded weights exactly.
+        """
+        n_src = src_rows.shape[0]
+        src = src_rows.astype(jnp.float32)
+        for ci in range(n_chunks):
+            r0 = ci * rows_per
+            iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
+            ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
+            ys = (
+                jax.lax.broadcasted_iota(jnp.int32, (pc, n_src), 1)
+                + y_offset
+            ).astype(jnp.float32)
+            wy = jnp.maximum(1.0 - jnp.abs(ys - iy_c), 0.0)
+            rows = jnp.dot(
+                wy, src,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            xs = jax.lax.broadcasted_iota(
+                jnp.int32, (pc, w_in), 1
+            ).astype(jnp.float32)
+            wx = jnp.maximum(1.0 - jnp.abs(xs - ix_c), 0.0)
+            out = jnp.sum(rows * wx, axis=1)
+            out_ref[0, 0, r0:r0 + rows_per, :] = out.reshape(
+                rows_per, wo
+            ).astype(out_ref.dtype)
+
     @pl.when(fits)
     def _():
-        img_band = img_ref[0, 0, pl.ds(band_start, band), :]
-        ys_b = (
-            jax.lax.broadcasted_iota(jnp.int32, (p, band), 1) + band_start
-        ).astype(jnp.float32)
-        wy_band = jnp.maximum(1.0 - jnp.abs(ys_b - iyf), 0.0)
-        finish(jnp.dot(
-            wy_band, img_band.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ))
+        run(img_ref[0, 0, pl.ds(band_start, band), :], band_start)
 
     @pl.when(jnp.logical_not(fits))
     def _():
-        img = img_ref[0, 0]
-        ys = jax.lax.broadcasted_iota(jnp.int32, (p, h_in), 1).astype(
-            jnp.float32
-        )
-        wy_mat = jnp.maximum(1.0 - jnp.abs(ys - iyf), 0.0)
-        finish(jnp.dot(
-            wy_mat, img.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        ))
+        run(img_ref[0, 0], 0)
 
 
 def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=10 * 1024 * 1024):
@@ -131,7 +147,11 @@ def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=10 * 1024 * 1024):
         need = 4 * (p * h_in + 2 * p * w_in)
         if need < vmem_budget:
             return bi
-    return ho
+    # whole-axis fallback only when its matrices actually fit VMEM
+    p = ho * wo
+    if 4 * (p * h_in + 2 * p * w_in) < vmem_budget:
+        return ho
+    return None
 
 
 def grid_sample_pallas(img, grid, padding_mode="zeros", interpret=None):
@@ -155,6 +175,12 @@ def _forward(img, grid, padding_mode, interpret):
     _, ho, wo, _ = grid.shape
     assert grid.shape[0] == n and grid.shape[3] == 2
     bi = _pick_block_rows(ho, h, w, wo)
+    if bi is None:
+        # no VMEM-feasible tiling (e.g. large non-multiple-of-8 heights):
+        # use the gather formulation instead of hanging/OOMing the chip
+        from ..grid_sample import grid_sample as ref_sample
+
+        return ref_sample(img, grid, padding_mode, impl="jnp")
     n_blocks = ho // bi
 
     band = min(64, h)  # source-row band height for the fast path
