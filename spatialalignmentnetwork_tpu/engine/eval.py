@@ -38,6 +38,10 @@ def _save_volume(arr, path, affine):
 def main(args):
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "matmul_precision", None):
+        jax.config.update(
+            "jax_default_matmul_precision", args.matmul_precision
+        )
     affine = np.eye(4) * [0.7, -0.7, -5, 1]
     print(args)
 
@@ -132,6 +136,9 @@ def build_parser():
                         help="shard volume slices across all local devices")
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. cpu, tpu)")
+    parser.add_argument("--matmul_precision", type=str, default=None,
+                        choices=["default", "high", "highest"],
+                        help="jax matmul/conv precision (TPU parity knob)")
     args = parser.parse_args()
     return args
 

@@ -79,6 +79,12 @@ def main(args):
         # must happen before the first backend touch; overrides both
         # JAX_PLATFORMS and any sitecustomize-forced platform
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "matmul_precision", None):
+        # 'highest' keeps convs/matmuls at true f32 on TPU (default
+        # truncates f32 operands to bf16) — the knob for 0.1 dB parity runs
+        jax.config.update(
+            "jax_default_matmul_precision", args.matmul_precision
+        )
     cfg = build_cfg(args)
 
     print(args)
@@ -341,6 +347,9 @@ def build_parser():
                         help="force a jax platform (e.g. cpu, tpu)")
     parser.add_argument("--seed", type=int, default=None,
                         help="seed loader shuffling and augmentation RNG")
+    parser.add_argument("--matmul_precision", type=str, default=None,
+                        choices=["default", "high", "highest"],
+                        help="jax matmul/conv precision (TPU parity knob)")
     parser.add_argument("--trace_at", type=int, default=0, metavar="N",
                         help="capture a jax.profiler trace at iteration N")
     parser.add_argument("--save_opt", action="store_true",
