@@ -304,6 +304,30 @@ def test_checkpoint_with_optimizer_state(tmp_path):
     assert diff > 0
 
 
+def test_checkpoint_overwrite_on_resume(tmp_path):
+    """Re-saving to an existing checkpoint path overwrites (resume can
+    revisit periodic checkpoint names); non-directory collisions refuse."""
+    cfg = tiny_cfg("None")
+    net = CSModel(cfg=cfg)
+    path = str(tmp_path / "ckpt.pt")
+    net.save(path)
+    full, aux = _batch(seed=91)
+    net.set_input(full, aux)
+    net.update()
+    net.save(path)  # must not raise
+    net2 = CSModel(ckpt=path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(net.state["params"]["net_R"]),
+        jax.tree_util.tree_leaves(net2.state["params"]["net_R"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bad = str(tmp_path / "afile")
+    open(bad, "w").write("x")
+    with pytest.raises(AssertionError):
+        net.save(bad)
+
+
 def test_test_step_metrics(tmp_path):
     cfg = tiny_cfg("Rec")
     net = CSModel(cfg=cfg)
