@@ -147,7 +147,9 @@ def main():
     from spatialalignmentnetwork_tpu.models.varnet import VarNet
     from spatialalignmentnetwork_tpu.ops.masks import make_mask
     from spatialalignmentnetwork_tpu.ops.fft import set_fft_impl
+    from spatialalignmentnetwork_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     set_fft_impl(args.fft)
     if args.mode == "train":
         bench_train(args)

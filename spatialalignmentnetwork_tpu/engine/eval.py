@@ -42,6 +42,9 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     affine = np.eye(4) * [0.7, -0.7, -5, 1]
     print(args)
 

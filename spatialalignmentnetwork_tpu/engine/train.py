@@ -85,6 +85,9 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    from ..utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = build_cfg(args)
 
     print(args)
