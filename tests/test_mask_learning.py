@@ -70,6 +70,22 @@ def test_loupe_learn_mask_updates_logits():
     ).sum() == 0
 
 
+def test_loupe_learn_mask_rec_regime():
+    """learn_mask also trains the logits in the Rec regime (T+R+mask)."""
+    cfg = tiny_cfg("Rec")
+    cfg.mask = "loupe"
+    cfg.learn_mask = True
+    net = CSModel(cfg=cfg)
+    w0 = np.asarray(net.state["params"]["net_mask"]["weight"]).copy()
+    full, aux = _batch(seed=23)
+    net.set_input(full, aux)
+    net.update()
+    w1 = np.asarray(net.state["params"]["net_mask"]["weight"])
+    assert np.abs(w1 - w0).sum() > 0
+    scalars = net.get_vis("scalars")["scalars"]
+    assert np.isfinite(scalars["loss_all"])
+
+
 def test_fixed_mask_prune_is_noop_at_default_thres():
     cfg = tiny_cfg("None")
     net = CSModel(cfg=cfg)  # equispaced: implicit all-ones weight
