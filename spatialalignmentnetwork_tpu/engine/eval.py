@@ -47,6 +47,11 @@ def main(args):
     enable_compilation_cache()
     affine = np.eye(4) * [0.7, -0.7, -5, 1]
     print(args)
+    if args.save is not None:
+        os.makedirs(args.save, exist_ok=True)
+    if getattr(args, "metric", None):
+        metric_dir = os.path.dirname(os.path.abspath(args.metric))
+        os.makedirs(metric_dir, exist_ok=True)
 
     if os.path.isdir(args.resume) or os.path.isfile(args.resume):
         net = CSModel(ckpt=args.resume)
