@@ -17,9 +17,63 @@ Usage: python bench.py [--batch N] [--iters N] [--dtype bf16|f32]
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+# Dense bf16 matmul peak per chip, TFLOP/s (public specs). The guard uses
+# these as a hard ceiling: any measurement implying more than 100% MFU is
+# physically impossible and gets flagged "suspect" (e.g. a relay backend
+# that acks dispatches without executing — see PERF.md).
+_PEAK_TFLOPS_BY_KIND = {
+    "v4": 275.0,
+    "v5 lite": 197.0,
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v6 lite": 918.0,
+    "v6e": 918.0,
+    "trillium": 918.0,
+}
+# Fallback analytic roofline (PERF.md): full-size ref-guided VarNet forward
+# is ~76 GFLOP per 320x320 slice. Used only if XLA cost analysis is
+# unavailable on the backend.
+_ANALYTIC_FLOPS_PER_SLICE = 76e9
+
+
+def _platform_peak_tflops():
+    import jax
+
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    for key, peak in _PEAK_TFLOPS_BY_KIND.items():
+        if key in kind:
+            return peak
+    if d.platform == "cpu":
+        return 10.0  # generous single-host CPU ceiling
+    return 1000.0  # unknown accelerator: generous but finite
+
+
+def _chain_flops(run_chain, *args):
+    """Total analytical FLOPs of one chain call via XLA cost analysis."""
+    try:
+        analysis = run_chain.lower(*args).compile().cost_analysis()
+        if isinstance(analysis, list):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", float("nan")))
+        if np.isfinite(flops) and flops > 0:
+            return flops, "xla_cost_analysis"
+    except Exception:
+        pass
+    return float("nan"), "unavailable"
+
+
+def _is_resource_error(e) -> bool:
+    msg = str(e).upper()
+    return any(s in msg for s in (
+        "RESOURCE_EXHAUSTED", "OUT OF MEMORY", "OOM",
+        "ALLOCATION", "EXCEEDS THE AMOUNT OF MEMORY",
+    ))
 
 
 def bench_train(args):
@@ -192,18 +246,28 @@ def main():
         carry, _ = jax.lax.scan(body, k, (), length=n_iters)
         return carry
 
-    # robustness: halve the batch on resource/compile failures so the
-    # benchmark degrades instead of dying on smaller chips
+    # robustness: halve the batch ONLY on resource exhaustion so the
+    # benchmark degrades (loudly) on smaller chips; any other failure is a
+    # real bug and must surface
     while True:
         try:
             out = run_chain(params, k, mask, ref)
             out.block_until_ready()  # warm compile
             break
-        except Exception:
-            if B <= 1:
+        except Exception as e:
+            if not _is_resource_error(e) or B <= 1:
                 raise
             B //= 2
+            print(f"bench: resource exhausted, retrying at batch {B}",
+                  file=sys.stderr)
             k, ref = k[:B], ref[:B]
+
+    flops_chain, flops_src = _chain_flops(run_chain, params, k, mask, ref)
+    if np.isfinite(flops_chain):
+        flops_per_slice = flops_chain / (B * n_iters)
+    else:
+        flops_per_slice = _ANALYTIC_FLOPS_PER_SLICE
+        flops_src = "analytic_perf_md"
 
     times = []
     for _ in range(args.repeats):
@@ -214,12 +278,34 @@ def main():
 
     best = min(times)
     slices_per_sec = B * n_iters / best
-    print(json.dumps({
+
+    # plausibility guard: a result implying >100% MFU is physically
+    # impossible — mark it suspect so a broken backend (e.g. a tunnel that
+    # acks dispatches without executing) can never produce a clean number
+    peak_tflops = _platform_peak_tflops()
+    implied_tflops = slices_per_sec * flops_per_slice / 1e12
+    mfu = implied_tflops / peak_tflops
+    result = {
         "metric": "recon_slices_per_sec_per_chip_320x320_4x",
         "value": round(slices_per_sec, 2),
         "unit": "slices/s",
         "vs_baseline": round(slices_per_sec / 10000.0, 4),
-    }))
+        "flops_per_slice": round(flops_per_slice),
+        "flops_source": flops_src,
+        "implied_tflops": round(implied_tflops, 2),
+        "peak_tflops": peak_tflops,
+        "mfu": round(mfu, 4),
+    }
+    if mfu > 1.0:
+        result["suspect"] = True
+        result["vs_baseline"] = 0.0  # a physically impossible number is
+        # evidence of a broken backend, not of beating the baseline
+        result["suspect_reason"] = (
+            f"implied {implied_tflops:.0f} TFLOP/s exceeds the "
+            f"{peak_tflops:.0f} TFLOP/s chip peak ({mfu:.1f}x): the backend "
+            "did not actually execute the timed work"
+        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
