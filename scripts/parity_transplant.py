@@ -1,0 +1,230 @@
+#!/usr/bin/env python3
+"""Weight-transplant parity artifact (docs/parity_run.md section 1).
+
+Bounds the whole-pipeline numerical drift between this framework and the
+reference WITHOUT any real data or training:
+
+1. synthesize a paired T1/T2 volume dataset (smooth random anatomies);
+2. build a reference CSModel at PRODUCTION scale from a seeded torch init
+   and save it in the reference checkpoint layout (basemodel.py:159-169);
+3. evaluate the reference on CPU (its own CSModel.test / get_vis loop,
+   eval.py:54-87 semantics) -> theirs.json;
+4. convert the checkpoint (engine.torch_compat) and evaluate OUR eval CLI
+   on the same volumes -> ours.json;
+5. diff with scripts/compare_metrics.py (PSNR tolerance 0.1 dB).
+
+The reference environment lacks skimage; its metrics.py is fed our
+numpy reimplementation of the identical skimage formulas
+(utils/metrics.py:44-76, verified against the skimage definition) — both
+sides therefore measure recon quality with one metric implementation, so
+any JSON delta is recon-pipeline drift, not metric drift.
+
+Usage:
+  python scripts/parity_transplant.py [--volumes 10] [--slices 2]
+      [--shape 320] [--workdir /tmp/parity_ws] [--out docs/parity]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+PROTOCALS = ["T2", "T1"]  # image = T2, aux/reference modality = T1
+
+
+def _install_skimage_stub():
+    """Provide skimage.metrics backed by our formula-identical numpy impl."""
+    try:
+        import skimage.metrics  # noqa: F401
+        return  # real skimage present: use it
+    except ImportError:
+        pass
+    sys.path.insert(0, REPO)
+    from spatialalignmentnetwork_tpu.utils import metrics as M
+
+    def peak_signal_noise_ratio(gt, pred, data_range=1.0):
+        err = np.mean((np.asarray(gt, np.float64)
+                       - np.asarray(pred, np.float64)) ** 2)
+        return np.float64(10 * np.log10((data_range ** 2) / err))
+
+    def structural_similarity(x, y, data_range=1.0):
+        return np.float64(M._ssim_2d(np.asarray(x), np.asarray(y),
+                                     data_range))
+
+    sk = types.ModuleType("skimage")
+    met = types.ModuleType("skimage.metrics")
+    met.peak_signal_noise_ratio = peak_signal_noise_ratio
+    met.structural_similarity = structural_similarity
+    sk.metrics = met
+    sys.modules["skimage"] = sk
+    sys.modules["skimage.metrics"] = met
+
+
+def _smooth_field(rng, shape, rel_sigma=0.08):
+    """Low-pass-filtered gaussian noise, normalized to [0, 1]."""
+    from scipy.ndimage import gaussian_filter
+
+    x = rng.standard_normal(shape)
+    sig = max(1.0, rel_sigma * shape[-1])
+    x = gaussian_filter(x, sigma=(0, sig, sig))
+    lo, hi = x.min(), x.max()
+    return ((x - lo) / (hi - lo + 1e-12)).astype(np.float32)
+
+
+def make_dataset(workdir, volumes, slices, shape, seed=0):
+    import h5py
+
+    data_dir = os.path.join(workdir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    rows = []
+    for v in range(volumes):
+        # shared anatomy, two synthetic contrasts
+        base = _smooth_field(rng, (slices, shape, shape))
+        detail = _smooth_field(rng, (slices, shape, shape), rel_sigma=0.03)
+        t1 = np.clip(base * 0.8 + detail * 0.2, 0, 1)
+        t2 = np.clip((1.0 - base) * 0.7 + detail * 0.3, 0, 1)
+        for proto, img in (("T1", t1), ("T2", t2)):
+            path = os.path.join(data_dir, f"v{v}_{proto}.h5")
+            with h5py.File(path, "w") as h5:
+                h5.create_dataset("image", data=img)
+                h5.attrs["max"] = float(img.max())
+                h5.attrs["acquisition"] = proto
+        rows.append(f"v{v}_T1.h5,v{v}_T2.h5")
+    csv = os.path.join(data_dir, "pairs.csv")
+    with open(csv, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    return csv
+
+
+def build_reference_ckpt(path, shape, seed=7):
+    """Seeded production-scale reference CSModel, saved in its own layout."""
+    sys.path.insert(0, REF)
+    _install_skimage_stub()
+    import torch
+
+    torch.manual_seed(seed)
+    from basemodel import Config as RefConfig
+    from model import CSModel as RefCSModel
+
+    cfg = RefConfig(
+        sparsity=0.25, lr=1e-4, shape=shape, coils=1, reg="Rec",
+        mask="equispaced", weight_smooth=1000.0, weight_gan=0.1,
+        weight_gan_sim=1.0, weight_sim=1.0, use_amp=False,
+    )
+    net = RefCSModel(cfg=cfg)
+    net.save(path)
+    return net
+
+
+def eval_reference(ckpt, csv, out_json):
+    """The reference eval loop (eval.py:54-87) on CPU, no augmentation."""
+    sys.path.insert(0, REF)
+    _install_skimage_stub()
+    import torch
+    from paired_dataset import get_paired_volume_datasets
+    from model import CSModel as RefCSModel
+
+    net = RefCSModel(ckpt=ckpt)
+    net.use_amp = False
+    cfg = net.cfg
+    volumes = get_paired_volume_datasets(
+        csv, crop=cfg.shape, protocals=PROTOCALS
+    )
+    net.eval()
+    stat = []
+    for i, volume in enumerate(volumes):
+        batch = [
+            torch.tensor(np.stack(s, axis=0))
+            for s in zip(*[volume[j] for j in range(len(volume))])
+        ]
+        net.set_input(*batch)
+        with torch.no_grad():
+            net.test()
+            vis = net.get_vis("scalars")
+        stat.append(vis["scalars"])
+        print(f"[reference] volume {i}: "
+              + str({k: round(v, 4) for k, v in vis["scalars"].items()}),
+              flush=True)
+    with open(out_json, "w") as f:
+        json.dump(stat, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--volumes", type=int, default=10)
+    p.add_argument("--slices", type=int, default=2)
+    p.add_argument("--shape", type=int, default=320)
+    p.add_argument("--workdir", default="/tmp/parity_ws")
+    p.add_argument("--out", default=os.path.join(REPO, "docs", "parity"))
+    p.add_argument("--tol_db", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=7)
+    args = p.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    os.makedirs(args.out, exist_ok=True)
+
+    print("== 1/5 synthesize dataset ==", flush=True)
+    csv = make_dataset(args.workdir, args.volumes, args.slices, args.shape,
+                       seed=args.seed)
+
+    print("== 2/5 build reference checkpoint (production scale) ==",
+          flush=True)
+    ref_ckpt = os.path.join(args.workdir, "ref_ckpt.pt")
+    if not os.path.exists(ref_ckpt):
+        build_reference_ckpt(ref_ckpt, args.shape, seed=args.seed)
+
+    print("== 3/5 reference eval (torch CPU) ==", flush=True)
+    theirs_json = os.path.join(args.out, "theirs.json")
+    eval_reference(ref_ckpt, csv, theirs_json)
+
+    print("== 4/5 convert + our eval (jax CPU) ==", flush=True)
+    conv_ckpt = os.path.join(args.workdir, "converted.pt")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    if not os.path.exists(conv_ckpt):
+        subprocess.run(
+            [sys.executable, "-m",
+             "spatialalignmentnetwork_tpu.engine.torch_compat",
+             ref_ckpt, conv_ckpt],
+            check=True, cwd=REPO, env=env,
+        )
+    ours_json = os.path.join(args.out, "ours.json")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "eval.py"), "--platform", "cpu",
+         "--resume", conv_ckpt, "--val", csv,
+         "--protocals", *PROTOCALS, "--metric", ours_json],
+        check=True, cwd=REPO, env=env,
+    )
+
+    print("== 5/5 compare ==", flush=True)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "compare_metrics.py"),
+         ours_json, theirs_json, "--tol_db", str(args.tol_db)],
+        cwd=REPO, capture_output=True, text=True,
+    )
+    sys.stdout.write(r.stdout)
+    sys.stderr.write(r.stderr)
+    with open(os.path.join(args.out, "summary.txt"), "w") as f:
+        f.write(
+            f"weight-transplant parity run\n"
+            f"volumes={args.volumes} slices={args.slices} "
+            f"shape={args.shape} seed={args.seed} tol_db={args.tol_db}\n"
+            f"reference: torch CPU, production-scale nets "
+            f"(8-cascade VarNet, 512-wide NetG)\n"
+            f"ours: jax CPU via eval.py on the converted checkpoint\n\n"
+            + r.stdout
+        )
+    sys.exit(r.returncode)
+
+
+if __name__ == "__main__":
+    main()

@@ -50,31 +50,52 @@ class Loader:
 
     Each dataset item is a list [target, aux, ...] of [C, H, W] arrays;
     a batch is a list of [N, C, H, W] stacked arrays (one per modality).
+
+    Multi-host sharding (SURVEY §5.8): with num_shards=P, shard_index=p,
+    every process draws the SAME global permutation (callers must pass the
+    same seed on every host) in global batches of batch_size*P rows, and
+    this loader yields only rows [p*B, (p+1)*B) of each global batch — so
+    the P processes load disjoint rows whose union is exactly the global
+    batch, ready for jax.make_array_from_process_local_data assembly
+    (parallel.mesh.shard_batch_multihost).
     """
 
     def __init__(self, dataset, batch_size, shuffle=False, drop_last=False,
-                 num_workers=4, prefetch_batches=2, seed=0):
+                 num_workers=4, prefetch_batches=2, seed=0,
+                 num_shards=1, shard_index=0):
+        assert 0 <= shard_index < num_shards
+        assert num_shards == 1 or drop_last, (
+            "sharded loading requires drop_last=True so every process "
+            "yields the same number of equal-size batches"
+        )
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.num_shards = num_shards
+        self.shard_index = shard_index
 
     def __len__(self):
         n = len(self.dataset)
+        global_bs = self.batch_size * self.num_shards
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return n // global_bs
+        return (n + global_bs - 1) // global_bs
 
     def _batches(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
+        global_bs = self.batch_size * self.num_shards
+        lo = self.shard_index * self.batch_size
         for b in range(nb):
-            yield order[b * self.batch_size : (b + 1) * self.batch_size]
+            gbatch = order[b * global_bs : (b + 1) * global_bs]
+            yield gbatch[lo : lo + self.batch_size]
 
     def _fetch(self, indices):
         items = [self.dataset[int(i)] for i in indices]

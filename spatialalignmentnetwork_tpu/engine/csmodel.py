@@ -604,6 +604,22 @@ class CSModel:
         return self
 
     def set_input(self, img_full, img_aux=None):
+        mesh = getattr(self, "mesh", None)
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host: the caller passes this process's LOCAL shard of
+            # the global batch (rows for its addressable devices); glue the
+            # host shards into one global array without cross-host copies
+            import numpy as np
+            from ..parallel.mesh import shard_batch_multihost
+
+            img_full = np.asarray(img_full)
+            if img_aux is None:
+                img_aux = np.zeros_like(img_full)
+            img_full, img_aux = shard_batch_multihost(
+                mesh, (img_full, np.asarray(img_aux))
+            )
+            self._batch = (img_full, img_aux)
+            return
         img_full = jnp.asarray(img_full)
         if img_aux is None:
             img_aux = jnp.zeros_like(img_full)

@@ -85,22 +85,44 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    if getattr(args, "dist_coordinator", None):
+        # multi-host SPMD: one process per host, all running this CLI with
+        # the same flags; jax.devices() then spans every host's chips
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id,
+        )
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
     cfg = build_cfg(args)
 
+    n_proc = jax.process_count()
+    is_main = jax.process_index() == 0
+    if n_proc > 1:
+        assert args.data_parallel, "multi-host runs require --data_parallel"
+        assert args.seed is not None, (
+            "multi-host runs require --seed so every process draws the "
+            "same global shuffle"
+        )
+        assert args.batch_size % n_proc == 0, (
+            f"global batch {args.batch_size} must divide over "
+            f"{n_proc} processes"
+        )
+
     print(args)
     for path in [args.logdir, args.logdir + "/res", args.logdir + "/ckpt"]:
         os.makedirs(path, exist_ok=True)
 
-    try:
-        from torch.utils.tensorboard import SummaryWriter
+    writer = None
+    if is_main:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
 
-        writer = SummaryWriter(args.logdir)
-    except Exception as e:  # tensorboard optional
-        print("tensorboard unavailable:", e)
-        writer = None
+            writer = SummaryWriter(args.logdir)
+        except Exception as e:  # tensorboard optional
+            print("tensorboard unavailable:", e)
 
     print("loading model...")
     iter_cnt = 0
@@ -156,14 +178,19 @@ def main(args):
         slices_train = Prefetch(slices_train)
         slices_val = Prefetch(slices_val)
     seed = getattr(args, "seed", None)
+    # per-host sharded input pipeline (SURVEY §5.8): each process loads only
+    # the rows destined for its addressable devices; args.batch_size is the
+    # GLOBAL batch (reference semantics), split evenly over processes
+    local_bs = args.batch_size // n_proc
+    shard_kw = dict(num_shards=n_proc, shard_index=jax.process_index())
     loader_train = Loader(
-        slices_train, args.batch_size, shuffle=True,
+        slices_train, local_bs, shuffle=True,
         num_workers=args.num_workers, drop_last=True,
-        seed=seed if seed is not None else int(time.time()),
+        seed=seed if seed is not None else int(time.time()), **shard_kw,
     )
     loader_val = Loader(
-        slices_val, args.batch_size, shuffle=False,
-        num_workers=args.num_workers, drop_last=True,
+        slices_val, local_bs, shuffle=False,
+        num_workers=args.num_workers, drop_last=True, **shard_kw,
     )
 
     len_vis, col_vis = 16, 4
@@ -225,9 +252,11 @@ def main(args):
                     writer.add_histogram(
                         tag="train/" + name, global_step=iter_cnt, **val
                     )
-            if (iter_cnt % 1000 == 0) or (
+            if (n_proc == 1) and ((iter_cnt % 1000 == 0) or (
                 (iter_cnt < 10000) and (iter_cnt % 100 == 0)
-            ):
+            )):
+                # image grids need host-addressable arrays; on multi-host
+                # the vis batch would be sharded across processes — skip
                 last_disp = iter_cnt
                 net.eval()
                 net.set_input(*batch_vis)
@@ -244,8 +273,9 @@ def main(args):
                 (iter_cnt < 10000) and (iter_cnt % 1000 == 0)
             ):
                 last_ckpt = iter_cnt
-                net.save(args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt,
-                         with_opt=getattr(args, "save_opt", False))
+                if is_main:  # params are replicated: host 0's copy is global
+                    net.save(args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt,
+                             with_opt=getattr(args, "save_opt", False))
             if iter_cnt % 50 == 0:
                 postfix = f"[{iter_cnt}/{last_loss}/{last_disp}/{last_ckpt}]"
                 # surface stalls in the input pipeline (train.py:258-261)
@@ -278,10 +308,11 @@ def main(args):
             if (loss_best is None) or (loss_current < loss_best):
                 loss_best = loss_current
                 iter_best = iter_cnt
-                best = args.logdir + "/ckpt/best.pt"
-                if os.path.exists(best):
-                    shutil.rmtree(best)
-                net.save(best, with_opt=getattr(args, "save_opt", False))
+                if is_main:
+                    best = args.logdir + "/ckpt/best.pt"
+                    if os.path.exists(best):
+                        shutil.rmtree(best)
+                    net.save(best, with_opt=getattr(args, "save_opt", False))
             elif iter_cnt >= args.intel_stop + iter_best:
                 signal_end = True
                 print("signal_end set due to intel_stop")
@@ -291,9 +322,9 @@ def main(args):
         writer.flush()
         writer.close()
     final = args.logdir + "/ckpt/ckpt_%010d.pt" % iter_cnt
-    if not os.path.exists(final):
+    if is_main and not os.path.exists(final):
         net.save(final, with_opt=getattr(args, "save_opt", False))
-    print("saved final ckpt:", final)
+        print("saved final ckpt:", final)
 
 
 def try_int(v):
@@ -357,6 +388,12 @@ def build_parser():
                         help="capture a jax.profiler trace at iteration N")
     parser.add_argument("--save_opt", action="store_true",
                         help="include optimizer state in checkpoints")
+    parser.add_argument("--dist_coordinator", type=str, default=None,
+                        metavar="HOST:PORT",
+                        help="jax.distributed coordinator for multi-host "
+                             "SPMD (one process per host)")
+    parser.add_argument("--dist_num_processes", type=int, default=None)
+    parser.add_argument("--dist_process_id", type=int, default=None)
     return parser
 
 

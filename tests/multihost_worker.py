@@ -1,0 +1,86 @@
+"""Worker for the 2-process multi-host input-sharding test.
+
+Launched by tests/test_multihost.py as `python multihost_worker.py
+<coordinator> <num_processes> <process_id> <outdir>` with a CPU platform.
+Each process:
+  1. iterates a sharded Loader and records which dataset rows it loaded;
+  2. glues its local shard into the global batch
+     (shard_batch_multihost) and records the jitted global mean;
+  3. runs ONE tiny Rec train step on a fixed global batch through
+     CSModel.distribute + the multi-host set_input path and records the
+     loss, which must match a single-process run of the same step.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    coord, nproc, pid, outdir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+    )
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=nproc, process_id=pid
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from spatialalignmentnetwork_tpu.data.loader import Loader
+    from spatialalignmentnetwork_tpu.parallel.mesh import (
+        make_mesh, shard_batch_multihost,
+    )
+
+    N = 16
+
+    class RowIdDataset:
+        """Item i is a pair of [1, 4, 4] planes tagged with the row id."""
+
+        def __len__(self):
+            return N
+
+        def __getitem__(self, i):
+            return [np.full((1, 4, 4), i, np.float32),
+                    np.full((1, 4, 4), 1000 + i, np.float32)]
+
+    loader = Loader(RowIdDataset(), batch_size=2, shuffle=True,
+                    drop_last=True, seed=42, num_shards=nproc,
+                    shard_index=pid)
+    mesh = make_mesh()
+
+    @jax.jit
+    def global_mean(x):
+        return jnp.mean(x)
+
+    rows, means = [], []
+    for batch in loader:
+        rows.extend(batch[0][:, 0, 0, 0].astype(int).tolist())
+        g = shard_batch_multihost(mesh, batch)
+        means.append(float(global_mean(g[0])))
+
+    # --- one sharded Rec train step on a fixed global batch ---
+    # identical cfg/batch to the parent's single-process reference run
+    from tests.test_engine import tiny_cfg, _batch
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+    net = CSModel(cfg=tiny_cfg("Rec"), seed=0)
+    net.distribute(mesh)
+
+    full, aux = _batch(shape=16, n=nproc, seed=0)
+    lo, hi = pid, pid + 1  # one global row per process
+    net.set_input(np.asarray(full)[lo:hi], np.asarray(aux)[lo:hi])
+    net.update()
+    loss = float(net.get_vis("scalars")["scalars"]["loss_all"])
+
+    with open(os.path.join(outdir, f"p{pid}.json"), "w") as f:
+        json.dump({"rows": rows, "means": means, "loss": loss}, f)
+    print(f"worker {pid}: OK rows={rows} loss={loss}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
