@@ -204,19 +204,198 @@ def _fwd(img, grid, padding_mode, interpret):
     return _forward(img, grid, padding_mode, interpret), (img, grid)
 
 
+# --------------------------------------------------------------- backward
+# The backward pass is the TRANSPOSED one-hot contraction — the same MXU
+# trick as the forward, so training (the dominant workload) never falls
+# back to XLA's scalar-core scatter-add (reference cross.py:33-34 has a
+# native fwd+bwd CUDA sampler; this is the TPU equivalent):
+#
+#   d_img[y, x] = sum_p Wy[p, y] * g[p] * Wx[p, x]     (Wy^T @ (g .* Wx))
+#   d_ix[p]     = g[p] * sum_x (Wy @ img)[p, x] * dWx[p, x]
+#   d_iy[p]     = g[p] * sum_x (dWy @ img)[p, x] * Wx[p, x]
+#
+# where dW is the derivative of the bilinear weight wrt the (padded) pixel
+# coordinate in the exact floor-based form the jnp reference differentiates
+# to: -1 at floor(coord), +1 at floor(coord)+1, 0 elsewhere (floor itself
+# has zero gradient). The padding-mode transform (clip/reflect) and the
+# [-1,1]->pixel unnormalization are chained OUTSIDE the kernel with
+# jax.vjp, so clamp masking matches the jnp formulation exactly.
+
+
+def _tent(coord_iota, c):
+    return jnp.maximum(1.0 - jnp.abs(coord_iota - c), 0.0)
+
+
+def _dtent(coord_iota, c):
+    """d/dc max(1 - |i - c|, 0) in floor form: -1 at floor(c), +1 at
+    floor(c)+1 (matches d/dc of (1-frac, frac) tap weights)."""
+    c0 = jnp.floor(c)
+    return jnp.where(coord_iota == c0, -1.0, 0.0) + jnp.where(
+        coord_iota == c0 + 1.0, 1.0, 0.0
+    )
+
+
+def _bwd_rows_per(bi, wo, h_in, w_in, words_per_p):
+    """Chunk height for the backward contractions. Mosaic's layout
+    inference only supports the [rows, wo] -> [rows*wo, 1] flatten when
+    rows == 1 (a relayout, not a true collapse), so chunks are single
+    output rows; the VMEM formula keeps the door open for wider chunks if
+    that constraint ever lifts."""
+    rows_per = bi
+    while ((rows_per * wo) * words_per_p * 4 > 4 * 1024 * 1024
+           or rows_per > 1) and rows_per % 2 == 0:
+        rows_per //= 2
+    return rows_per
+
+
+def _kernel_dimg(ix_ref, iy_ref, g_ref, out_ref, *, h_in, w_in, bi):
+    """Accumulate one g-block's contribution into the [h, w] plane.
+
+    Grid (n, c, n_blocks) with the block dim innermost: the same out block
+    stays resident while k sweeps the output rows, so accumulation is a
+    VMEM read-modify-write initialized at k == 0.
+    """
+    wo = g_ref.shape[-1]
+    rows_per = _bwd_rows_per(bi, wo, h_in, w_in, h_in + 2 * w_in)
+    pc = rows_per * wo
+    # load whole blocks, slice in-register along the leading axis (the only
+    # static-slice pattern Mosaic's layout inference supports here)
+    iy = iy_ref[0].astype(jnp.float32)   # [bi, wo]
+    ix = ix_ref[0].astype(jnp.float32)
+    gg = g_ref[0, 0].astype(jnp.float32)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    for ci in range(bi // rows_per):
+        r0 = ci * rows_per
+        iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
+        ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
+        g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (pc, h_in), 1).astype(
+            jnp.float32
+        )
+        wy = _tent(ys, iy_c)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
+            jnp.float32
+        )
+        t = _tent(xs, ix_c) * g_c
+        # contract over p: [pc, h]^T @ [pc, w] -> [h, w]
+        piece = jax.lax.dot_general(
+            wy, t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        out_ref[0, 0] += piece.astype(out_ref.dtype)
+
+
+def _kernel_dgrid(img_ref, ix_ref, iy_ref, g_ref, dix_ref, diy_ref, *,
+                  h_in, w_in, bi):
+    """d wrt the padded pixel coords for one output block, summed over the
+    channel dim (grid (n, n_blocks, c), channels innermost -> accumulate)."""
+    wo = g_ref.shape[-1]
+    rows_per = _bwd_rows_per(bi, wo, h_in, w_in, 2 * h_in + 4 * w_in)
+    pc = rows_per * wo
+    src = img_ref[0, 0].astype(jnp.float32)
+    iy = iy_ref[0].astype(jnp.float32)   # [bi, wo]
+    ix = ix_ref[0].astype(jnp.float32)
+    gg = g_ref[0, 0].astype(jnp.float32)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        dix_ref[...] = jnp.zeros(dix_ref.shape, dix_ref.dtype)
+        diy_ref[...] = jnp.zeros(diy_ref.shape, diy_ref.dtype)
+
+    for ci in range(bi // rows_per):
+        r0 = ci * rows_per
+        iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
+        ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
+        g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (pc, h_in), 1).astype(
+            jnp.float32
+        )
+        xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
+            jnp.float32
+        )
+        wx = _tent(xs, ix_c)
+        dwx = _dtent(xs, ix_c)
+        mm = lambda a: jnp.dot(
+            a, src, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rows = mm(_tent(ys, iy_c))      # [pc, w]
+        rows_d = mm(_dtent(ys, iy_c))   # [pc, w]
+        dix = jnp.sum(rows * dwx, axis=1, keepdims=True) * g_c
+        diy = jnp.sum(rows_d * wx, axis=1, keepdims=True) * g_c
+        dix_ref[0, r0:r0 + rows_per, :] += dix.reshape(rows_per, wo).astype(
+            dix_ref.dtype
+        )
+        diy_ref[0, r0:r0 + rows_per, :] += diy.reshape(rows_per, wo).astype(
+            diy_ref.dtype
+        )
+
+
 def _bwd(padding_mode, interpret, res, g):
     img, grid = res
-    # backward of a gather is a scatter-add; XLA derives the transposed
-    # contraction from the closed-form jnp formulation
-    from ..grid_sample import grid_sample as ref_sample
+    n, c, h, w = img.shape
+    _, ho, wo, _ = grid.shape
+    bi = _pick_block_rows(ho, h, w, wo)
+    if bi is None:
+        # mirror the forward's fallback: no VMEM-feasible tiling
+        from ..grid_sample import grid_sample as ref_sample
 
-    # impl='jnp' explicitly: the dispatcher would otherwise route back to
-    # this kernel on TPU and recurse
-    _, vjp = jax.vjp(
-        lambda i, gr: ref_sample(i, gr, padding_mode, impl="jnp"), img, grid
-    )
-    di, dg = vjp(g)
-    return di, dg
+        _, vjp = jax.vjp(
+            lambda i, gr: ref_sample(i, gr, padding_mode, impl="jnp"),
+            img, grid,
+        )
+        return vjp(g)
+    n_blocks = ho // bi
+
+    def coords(grid):
+        gx = grid[..., 0].astype(jnp.float32)
+        gy = grid[..., 1].astype(jnp.float32)
+        ix = _apply_padding(((gx + 1.0) * w - 1.0) / 2.0, w, padding_mode)
+        iy = _apply_padding(((gy + 1.0) * h - 1.0) / 2.0, h, padding_mode)
+        return ix, iy
+
+    (ix, iy), coords_vjp = jax.vjp(coords, grid)
+
+    d_img = pl.pallas_call(
+        functools.partial(_kernel_dimg, h_in=h, w_in=w, bi=bi),
+        grid=(n, c, n_blocks),
+        in_specs=[
+            pl.BlockSpec((1, bi, wo), lambda i, j, k: (i, k, 0)),
+            pl.BlockSpec((1, bi, wo), lambda i, j, k: (i, k, 0)),
+            pl.BlockSpec((1, 1, bi, wo), lambda i, j, k: (i, j, k, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j, k: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        interpret=interpret,
+    )(ix, iy, g).astype(img.dtype)
+
+    d_ix, d_iy = pl.pallas_call(
+        functools.partial(_kernel_dgrid, h_in=h, w_in=w, bi=bi),
+        grid=(n, n_blocks, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda i, k, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, bi, wo), lambda i, k, j: (i, k, 0)),
+            pl.BlockSpec((1, bi, wo), lambda i, k, j: (i, k, 0)),
+            pl.BlockSpec((1, 1, bi, wo), lambda i, k, j: (i, j, k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bi, wo), lambda i, k, j: (i, k, 0)),
+            pl.BlockSpec((1, bi, wo), lambda i, k, j: (i, k, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
+            jax.ShapeDtypeStruct((n, ho, wo), jnp.float32),
+        ],
+        interpret=interpret,
+    )(img, ix, iy, g)
+
+    (d_grid,) = coords_vjp((d_ix, d_iy))
+    return d_img, d_grid
 
 
 _grid_sample_pallas.defvjp(_fwd, _bwd)

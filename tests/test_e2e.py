@@ -13,6 +13,8 @@ import numpy as np
 import h5py
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def make_h5(path, protocal, shape=(4, 24, 24), seed=0):
     rng = np.random.default_rng(seed)

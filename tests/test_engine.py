@@ -231,6 +231,7 @@ def test_training_determinism():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_bf16_mixed_precision_step():
     """cfg.use_amp=True (bf16 compute policy) trains without NaN/Inf and
     keeps params in fp32."""

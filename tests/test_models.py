@@ -1,6 +1,7 @@
 """Shape, gradient, and semantic tests for the network zoo."""
 
 import numpy as np
+import pytest
 import torch
 import jax
 import jax.numpy as jnp
@@ -70,6 +71,7 @@ def test_acs_mask_layout():
     assert m[14] == m[15] == m[0] == m[1] == 1.0
 
 
+@pytest.mark.slow
 def test_varnet_forward_and_grad():
     net = VarNet(num_cascades=2, sens_chans=2, sens_pools=2, chans=4, pools=2,
                  use_ref=True)
@@ -95,6 +97,7 @@ def test_varnet_forward_and_grad():
     assert dc.shape[0] == 2
 
 
+@pytest.mark.slow
 def test_varnet_use_ref_false():
     net = VarNet(num_cascades=1, sens_chans=2, sens_pools=2, chans=4, pools=2,
                  use_ref=False)
@@ -105,6 +108,7 @@ def test_varnet_use_ref_false():
     assert out.shape == (1, 1, 16, 16)
 
 
+@pytest.mark.slow
 def test_stn_identity_at_init_and_grad_flow():
     stn = SpatialTransformer(channels=1, layers=(4, 8, 8))
     mov = jnp.asarray(np.abs(_rand((2, 1, 16, 16), 9)))

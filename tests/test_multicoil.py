@@ -1,6 +1,7 @@
 """Multi-coil raw k-space support (BASELINE config[4])."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +17,7 @@ def _randc(shape, seed=0):
     )
 
 
+@pytest.mark.slow
 def test_varnet_multicoil_forward_and_grad():
     coils = 4
     net = VarNet(num_cascades=1, sens_chans=2, sens_pools=1, chans=4, pools=1,
@@ -33,6 +35,7 @@ def test_varnet_multicoil_forward_and_grad():
     )
 
 
+@pytest.mark.slow
 def test_csmodel_multicoil_rec_step():
     cfg = tiny_cfg("Rec")
     cfg.coils = 2

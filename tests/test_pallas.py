@@ -167,17 +167,36 @@ def test_pallas_mi_grad_matches_reference():
 
 
 def test_pallas_grid_sample_grads_match_reference():
-    img, grid = _data(3)
+    """Fused kernel backward (transposed one-hot contraction) vs the jnp
+    formulation's autodiff, for every padding mode incl. out-of-bounds
+    taps and a non-square output grid."""
+    rng = np.random.default_rng(3)
+    for pm in ("zeros", "border", "reflection"):
+        for (h, w, ho, wo, scale) in ((16, 16, 16, 16, 0.8),
+                                      (40, 24, 32, 24, 1.4)):
+            img = jnp.asarray(
+                rng.standard_normal((2, 3, h, w)).astype(np.float32)
+            )
+            grid = jnp.asarray(
+                (rng.standard_normal((2, ho, wo, 2)) * scale).astype(
+                    np.float32
+                )
+            )
+            # cotangent with structure (not all-ones): weight by position
+            cot = jnp.asarray(
+                rng.standard_normal((2, 3, ho, wo)).astype(np.float32)
+            )
 
-    def loss_p(i, g):
-        return jnp.sum(grid_sample_pallas(i, g, "zeros") ** 2)
+            def loss_p(i, g):
+                return jnp.sum(grid_sample_pallas(i, g, pm) * cot)
 
-    def loss_r(i, g):
-        return jnp.sum(ref_sample(i, g, "zeros") ** 2)
+            def loss_r(i, g):
+                return jnp.sum(ref_sample(i, g, pm, impl="jnp") * cot)
 
-    gp = jax.grad(loss_p, argnums=(0, 1))(img, grid)
-    gr = jax.grad(loss_r, argnums=(0, 1))(img, grid)
-    for a, b in zip(gp, gr):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
-        )
+            gp = jax.grad(loss_p, argnums=(0, 1))(img, grid)
+            gr = jax.grad(loss_r, argnums=(0, 1))(img, grid)
+            for a, b in zip(gp, gr):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    err_msg=f"pm={pm} shape={(h, w, ho, wo)}",
+                )

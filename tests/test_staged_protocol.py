@@ -10,6 +10,8 @@ import numpy as np
 import h5py
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -141,6 +141,7 @@ def test_libunet_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stn_parity():
     import cross as ref_cross
 
@@ -202,6 +203,7 @@ def test_netg_parity():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_varnet_parity_full_architecture():
     """The EXACT production VarNet config (8 cascades, sens 8/4, chans 18,
     pools 4, use_ref — model.py:64-71) at reduced spatial size."""
@@ -245,6 +247,7 @@ def test_varnet_parity_full_architecture():
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_gan_parity_full_architecture():
     """Production NetG (64..512 layers) and NetD blocks (model.py:58-61) at
     reduced spatial size."""
