@@ -70,6 +70,11 @@ def standard_mask(sparsity: float, shape: int, rng: np.random.Generator) -> np.n
     """fastMRI-style random mask: ACS borders always kept, remaining lines
     drawn uniformly so the total kept count is floor(sparsity*shape)."""
     center_len = center_len_for(sparsity, shape)
+    assert center_len < shape and math.floor(sparsity * shape) >= center_len, (
+        f"standard mask infeasible: shape={shape} sparsity={sparsity} gives "
+        f"{center_len} ACS lines but only {math.floor(sparsity * shape)} "
+        f"total kept lines — use a larger shape or sparsity"
+    )
     other_ratio = (sparsity * shape - center_len) / (shape - center_len)
     prob = np.full(shape, 1.1)
     prob[_center_slice(center_len)] = other_ratio
@@ -87,6 +92,11 @@ def equispaced_mask(sparsity: float, shape: int, rng: np.random.Generator) -> np
     sl = _center_slice(center_len)
     pruned[sl] = True
     remaining_cnt = math.floor(sparsity * shape - center_len)
+    assert remaining_cnt >= 2, (
+        f"equispaced mask infeasible: shape={shape} sparsity={sparsity} "
+        f"leaves {remaining_cnt} non-ACS lines to place (needs >= 2 for an "
+        f"equispaced comb) — use a larger shape or sparsity"
+    )
     interval = int((shape - center_len - 1) // (remaining_cnt - 1))
     start_max = (shape - center_len) - ((remaining_cnt - 1) * interval + 1)
     start = int(rng.integers(0, start_max + 1))

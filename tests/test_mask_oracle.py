@@ -1,0 +1,185 @@
+"""Mask-layout oracle tests against the reference generators.
+
+The reference mask layouts (/root/reference/masks.py:48-110) are the
+"silently cost dB" hard parts (SURVEY §7): the half-rolled equispaced
+frame, the corner-DC ACS borders, and the sparsity*0.32 center. These tests
+import the reference classes as a TEST ORACLE and compare EXACT layouts by
+injecting the same random draws into both sides — a one-line off-by-one in
+_center_slice or the roll frame fails them.
+"""
+
+import math
+import os
+import random as _pyrandom
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "/root/reference")
+import masks as ref_masks  # noqa: E402
+
+from spatialalignmentnetwork_tpu.ops.masks import (  # noqa: E402
+    center_len_for, equispaced_mask, standard_mask, lowpass_mask,
+    loupe_init_weight, loupe_pmask, loupe_sample, make_mask,
+)
+
+CASES = [(320, 0.25), (320, 0.125), (256, 0.25), (256, 0.125),
+         (128, 0.25), (64, 0.25), (96, 1.0 / 3.0)]
+
+
+class _FixedRng:
+    """np.random.Generator stand-in returning pre-chosen draws."""
+
+    def __init__(self, uniform=None, integer=None):
+        self._uniform = uniform
+        self._integer = integer
+
+    def random(self, shape=None):
+        assert self._uniform is not None
+        return self._uniform
+
+    def integers(self, lo, hi):
+        assert self._integer is not None and lo <= self._integer < hi
+        return self._integer
+
+
+def test_center_len_matches_reference_rounding():
+    for shape in range(8, 512):
+        for sparsity in (0.25, 0.125, 0.2, 0.3):
+            assert center_len_for(sparsity, shape) == round(
+                shape * sparsity * 0.32
+            ), (shape, sparsity)
+
+
+@pytest.mark.parametrize("shape,sparsity", CASES)
+def test_lowpass_layout_matches_reference(shape, sparsity):
+    ref = ref_masks.LowpassMask(sparsity, shape)
+    got = lowpass_mask(sparsity, shape)
+    np.testing.assert_array_equal(got, ref.pruned.numpy())
+
+
+@pytest.mark.parametrize("shape,sparsity", CASES)
+def test_equispaced_layout_matches_reference_every_start(
+    shape, sparsity, monkeypatch
+):
+    """Pin the random start offset to every feasible value and require the
+    exact same pruned vector (incl. the half-rolled comb frame) both sides."""
+    center_len = round(shape * sparsity * 0.32)
+    remaining_cnt = math.floor(sparsity * shape - center_len)
+    interval = int((shape - center_len - 1) // (remaining_cnt - 1))
+    start_max = (shape - center_len) - ((remaining_cnt - 1) * interval + 1)
+
+    starts = range(start_max + 1) if start_max < 16 else (
+        0, 1, start_max // 2, start_max - 1, start_max
+    )
+    for start in starts:
+        monkeypatch.setattr(ref_masks.random, "randint",
+                            lambda a, b, s=start: s)
+        ref = ref_masks.EquispacedMask(sparsity, shape)
+        got = equispaced_mask(sparsity, shape, _FixedRng(integer=start))
+        np.testing.assert_array_equal(
+            got, ref.pruned.numpy(), err_msg=f"start={start}"
+        )
+        # sanity: the kept count and ACS borders are what the paper says
+        assert (~got).sum() == center_len + remaining_cnt
+        sl_lo, sl_hi = center_len // 2, center_len - center_len // 2
+        assert not got[:sl_lo].any() and (sl_hi == 0 or not got[-sl_hi:].any())
+
+
+@pytest.mark.parametrize("shape,sparsity", CASES)
+def test_standard_layout_matches_reference(shape, sparsity, monkeypatch):
+    """Inject identical threshold draws into both generators: the kept sets
+    (ACS borders + random lines, floor(sparsity*shape) total) must agree."""
+    rng = np.random.default_rng(shape * 1000 + int(sparsity * 100))
+    for _ in range(3):
+        t = rng.random(shape).astype(np.float32)
+        monkeypatch.setattr(
+            torch, "rand", lambda *a, **k: torch.from_numpy(t.copy())
+        )
+        ref = ref_masks.StandardMask(sparsity, shape)
+        got = standard_mask(sparsity, shape, _FixedRng(uniform=t))
+        np.testing.assert_array_equal(got, ref.pruned.numpy())
+        assert (~got).sum() == math.floor(sparsity * shape)
+
+
+def test_loupe_init_and_sample_match_reference(monkeypatch):
+    shape, sparsity = 128, 0.25
+    rng = np.random.default_rng(3)
+    x_init = rng.random(shape).astype(np.float32)
+    thresh = rng.random((1, shape)).astype(np.float32)
+    draws = [torch.from_numpy(x_init.copy()),
+             torch.from_numpy(thresh.copy())]
+    monkeypatch.setattr(torch, "rand", lambda *a, **k: draws.pop(0))
+    ref = ref_masks.LOUPEMask(sparsity, shape)
+
+    # weight init: same logit-with-slope transform of the same uniform draw
+    # (both sides shrink the draw into [eps, 1-eps] internally)
+    want_w = ref.weight.detach().numpy()
+    got_w = loupe_init_weight(shape, 5.0, _FixedRng(uniform=x_init))
+    np.testing.assert_allclose(got_w, want_w, rtol=1e-5, atol=1e-6)
+
+    # pmask rescaling matches
+    import jax.numpy as jnp
+
+    got_pmask = np.asarray(loupe_pmask(jnp.asarray(want_w), sparsity, 5.0))
+    want_pmask = ref_masks.rescale_prob(
+        torch.sigmoid(ref.weight * 5.0), sparsity
+    ).detach().numpy()
+    np.testing.assert_allclose(got_pmask, want_pmask, rtol=1e-5, atol=1e-6)
+
+    # hard-sample pruned set with the same threshold draw matches
+    class _Key:
+        pass
+
+    import jax
+
+    # bypass jax uniform: call the pure math with the oracle's thresh by
+    # monkeypatching jax.random.uniform
+    monkeypatch.setattr(
+        jax.random, "uniform",
+        lambda key, shp, dtype=None: jnp.asarray(thresh),
+    )
+    _, got_pruned = loupe_sample(
+        jnp.asarray(want_w), sparsity, 5.0, 12.0,
+        jax.random.PRNGKey(0), batch=1, training=False,
+    )
+    np.testing.assert_array_equal(np.asarray(got_pruned),
+                                  ref.pruned.numpy())
+
+    # soft training mask formula matches on the same draws
+    mask_soft, _ = loupe_sample(
+        jnp.asarray(want_w), sparsity, 5.0, 12.0,
+        jax.random.PRNGKey(0), batch=1, training=True,
+    )
+    ref.train()
+    draws.append(torch.from_numpy(thresh.copy()))
+    out = ref(torch.ones(1, 1, shape, shape))
+    want_soft = out[0, 0, 0, :].detach().numpy()
+    np.testing.assert_allclose(np.asarray(mask_soft)[0], want_soft,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_equispaced_infeasible_config_raises():
+    with pytest.raises(AssertionError, match="infeasible"):
+        equispaced_mask(0.25, 8, np.random.default_rng(0))
+
+
+def test_standard_tiny_shape_degenerates_gracefully():
+    # the standard mask's feasibility guard is belt-and-braces: 0.32*t can
+    # never round past floor(t), so every (shape, sparsity) with at least
+    # one kept line works — incl. tiny shapes with a single ACS line
+    got = standard_mask(0.25, 8, np.random.default_rng(0))
+    assert (~got).sum() == 2  # floor(0.25*8)
+    # center_len=1: _center_slice(1) = [0:-1], so the single ACS line is
+    # the LAST index in corner-DC layout
+    assert not got[-1]
+
+
+@pytest.mark.parametrize("shape,sparsity", CASES)
+def test_make_mask_feasible_grid(shape, sparsity):
+    for kind in ("standard", "equispaced", "lowpass"):
+        st = make_mask(kind, shape, sparsity, seed=0)
+        assert st.pruned.shape == (shape,)
+        assert 0 < st.keep_frac() <= 1
