@@ -465,60 +465,148 @@ class CSModel:
         """Gradient-accumulation train step (cfg.grad_accum > 1).
 
         The global batch is split into `accum` micro-batches scanned
-        sequentially: gradients average across micro-batches before ONE
-        optimizer step (large effective batches beyond HBM limits).
-        Supported for the recon regimes (None/Rec); the GAN regimes'
-        two-pass update has no well-defined accumulation semantics in the
-        reference. BatchNorm stats update per micro-batch (torch
-        grad-accum semantics).
+        sequentially; gradients AVERAGE across micro-batches before ONE
+        optimizer step per network (large effective batches beyond HBM
+        limits). Framework-defined semantics for the GAN regimes (the
+        reference's two-pass update, model.py:193-259, has no accumulation
+        there): the G-phase (net_T/net_G/net_R + the through-D adversarial
+        term against frozen D) accumulates into one step, and the D-phase
+        gradients on detached per-micro-batch fakes accumulate into one D
+        step — preserving the reference's one-G-step/one-D-step alternation
+        per global batch. Micro-batches with the forwardG crossover split
+        each TR/RT half (model.py:198-210), so the half pairing matches the
+        full-batch step. BatchNorm stats update sequentially per
+        micro-batch (torch grad-accum convention).
         """
         cfg = self.cfg
         w_sim = cfg.weight_sim
         w_smooth = cfg.weight_smooth
-        assert regime in ("None", "Rec"), (
-            "grad_accum supports the recon regimes only"
-        )
+        w_gan = cfg.weight_gan
+        w_gan_sim = cfg.weight_gan_sim
+        with_G = regime in ("Mixed", "GAN-Only")
+        with_R = regime in ("None", "Rec", "Mixed")
         assert not cfg.get("learn_mask", False), (
             "grad_accum does not route gradients to the LOUPE mask; "
             "disable learn_mask or grad_accum"
         )
-        grad_nets = ("net_R",) if regime == "None" else ("net_T", "net_R")
+        grad_nets = {
+            "None": ("net_R",),
+            "Rec": ("net_T", "net_R"),
+            "Mixed": ("net_T", "net_G", "net_R"),
+            "GAN-Only": ("net_T", "net_G"),
+        }[regime]
+
+        def _split(x, n):
+            m = n // accum
+            if not with_G:
+                return x.reshape(accum, m, *x.shape[1:])
+            # keep the TR/RT half pairing of the full batch: micro-batch i
+            # takes slice i of the first half then slice i of the second
+            assert m % 2 == 0, (
+                f"GAN-regime micro-batches must be even for the forwardG "
+                f"crossover: batch {n} / accum {accum} = {m}"
+            )
+            half, m2 = n // 2, m // 2
+            fh = x[:half].reshape(accum, m2, *x.shape[1:])
+            sh = x[half:].reshape(accum, m2, *x.shape[1:])
+            return jnp.concatenate([fh, sh], axis=1)
 
         def step(state, img_full, img_aux, key):
             n = img_full.shape[0]
             assert n % accum == 0, (n, accum)
-            m = n // accum
-            mf = img_full.reshape(accum, m, *img_full.shape[1:])
-            ma = img_aux.reshape(accum, m, *img_aux.shape[1:])
+            mf = _split(img_full, n)
+            ma = _split(img_aux, n)
             params = state["params"]
 
             def loss_fn(train_params, stats, f, a):
                 p = {**params, **train_params}
                 env = self._prepare(f, a, state["pruned"])
                 losses, imgs, new_stats = self._forward_TGR(
-                    p, stats, env, train=True, with_G=False, with_R=True,
+                    p, stats, env, train=True, with_G=with_G, with_R=with_R,
                     stop_T=(regime == "None"),
                 )
-                total = losses["loss_sim"] * w_sim
+                total = 0.0
+                if with_R:
+                    total += losses["loss_sim"] * w_sim
                 if regime != "None":
-                    total = total + losses["loss_smooth"] * w_smooth
+                    total += losses["loss_smooth"] * w_smooth
+                if with_G:
+                    total += losses["loss_gan_sim"] * w_gan_sim
+                    fake = jnp.concatenate(
+                        [imgs["img_aligned"],
+                         jnp.zeros_like(imgs["img_aligned"])], axis=1
+                    )
+                    pred_fake, stats_D = self._apply_D(
+                        params["net_D"], new_stats["net_D"], fake, True,
+                    )
+                    losses["loss_gan_G"] = loss_gan(
+                        pred_fake, real=False, D_loss=False
+                    )
+                    total += losses["loss_gan_G"] * w_gan
+                    new_stats = {**new_stats, "net_D": stats_D}
                 losses["loss_all"] = total
                 return total, (losses, imgs, new_stats, env)
 
             train_params = {k: params[k] for k in grad_nets}
             zero_grads = jax.tree_util.tree_map(jnp.zeros_like, train_params)
+            zero_gD = (
+                jax.tree_util.tree_map(jnp.zeros_like, params["net_D"])
+                if with_G else None
+            )
+
+            def _reset_sn(stats, init):
+                """Reset spectral-norm u/v estimates to the global step's
+                initial values: the reference runs ONE power-iteration
+                sequence per optimizer step (one forward per step), so
+                micro-batches must not compound extra iterations — and
+                with frozen u/v, identical micro-batches produce identical
+                gradients (the accum==full-batch contract). BN running
+                stats still thread sequentially (torch convention)."""
+                if isinstance(stats, dict):
+                    return {
+                        k: (init[k] if k in ("u", "v")
+                            else _reset_sn(stats[k], init[k]))
+                        for k in stats
+                    }
+                return stats
 
             def body(carry, xs):
-                g_acc, stats = carry
+                g_acc, gD_acc, stats = carry
                 f, a = xs
+                stats = _reset_sn(stats, state["stats"])
                 grads, (losses, imgs, new_stats, env) = jax.grad(
                     loss_fn, has_aux=True
                 )(train_params, stats, f, a)
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
-                return (g_acc, new_stats), (losses, imgs, env)
+                if with_G:
+                    # D-phase on detached micro-batch fakes (model.py:234-239)
+                    fake = jax.lax.stop_gradient(jnp.concatenate(
+                        [imgs["img_aligned"],
+                         jnp.zeros_like(imgs["img_aligned"])], axis=1))
+                    real = jax.lax.stop_gradient(jnp.concatenate(
+                        [env["img_full_rss"],
+                         jnp.zeros_like(env["img_full_rss"])], axis=1))
 
-            (g_sum, new_stats), (losses, imgs, env) = jax.lax.scan(
-                body, (zero_grads, state["stats"]), (mf, ma)
+                    def loss_fn_D(pD):
+                        pred_fake, sD = self._apply_D(
+                            pD, new_stats["net_D"], fake, True
+                        )
+                        pred_real, sD = self._apply_D(pD, sD, real, True)
+                        lf = loss_gan(pred_fake, real=False, D_loss=True)
+                        lr = loss_gan(pred_real, real=True, D_loss=True)
+                        return (lf + lr) * w_gan, (lf, lr, sD)
+
+                    gD, (lf, lr, sD) = jax.grad(loss_fn_D, has_aux=True)(
+                        params["net_D"]
+                    )
+                    gD_acc = jax.tree_util.tree_map(jnp.add, gD_acc, gD)
+                    new_stats = {**new_stats, "net_D": sD}
+                    losses["loss_gan_Dfake"] = lf
+                    losses["loss_gan_Dreal"] = lr
+                return (g_acc, gD_acc, new_stats), (losses, imgs, env)
+
+            (g_sum, gD_sum, new_stats), (losses, imgs, env) = jax.lax.scan(
+                body, (zero_grads, zero_gD, state["stats"]), (mf, ma)
             )
             grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
 
@@ -529,6 +617,14 @@ class CSModel:
                     grads[name], state["opt"][name], params[name]
                 )
                 new_params[name] = optax.apply_updates(params[name], updates)
+            if with_G:
+                gD = jax.tree_util.tree_map(lambda g: g / accum, gD_sum)
+                updates, new_opt["net_D"] = self.tx["net_D"].update(
+                    gD, state["opt"]["net_D"], params["net_D"]
+                )
+                new_params["net_D"] = optax.apply_updates(
+                    params["net_D"], updates
+                )
 
             new_state = {
                 "params": new_params,
@@ -537,7 +633,15 @@ class CSModel:
                 "pruned": state["pruned"],
             }
             # aux: micro-batch outputs re-stitched into the global batch
-            flat = lambda x: x.reshape(n, *x.shape[2:])
+            # (inverting the half-split ordering for the GAN regimes)
+            if with_G:
+                m2 = (n // accum) // 2
+                flat = lambda x: jnp.concatenate(
+                    [x[:, :m2].reshape(n // 2, *x.shape[2:]),
+                     x[:, m2:].reshape(n // 2, *x.shape[2:])], axis=0
+                )
+            else:
+                flat = lambda x: x.reshape(n, *x.shape[2:])
             aux = {k: jnp.mean(v) for k, v in losses.items()}
             aux.update({
                 "img_full_rss": flat(env["img_full_rss"]),

@@ -184,6 +184,75 @@ def test_grad_accum_matches_full_batch():
     scal_b = net_b.get_vis("scalars")["scalars"]
     assert np.isfinite(scal_b["loss_all"])
 
+
+def test_grad_accum_mixed_matches_full_batch():
+    """Mixed-regime accumulation (framework-defined semantics: G-phase and
+    D-phase grads each average into ONE step per global batch, micro-batches
+    split each TR/RT crossover half). With a global batch whose half-slices
+    make every micro-batch identical, duplicated rows have the same batch
+    statistics as a single copy, so accum==no-accum must hold to float
+    tolerance for ALL nets including BatchNorm net_D."""
+    import optax
+
+    full2, aux2 = _batch(n=2, seed=92)
+    rep = lambda x: np.concatenate([x[:1], x[:1], x[1:], x[1:]], axis=0)
+    full, aux = rep(np.asarray(full2)), rep(np.asarray(aux2))
+
+    def to_sgd(net):
+        # plain SGD makes the post-step params a direct read of the grads
+        # (AdamW's sign normalization amplifies float noise on zero-grad
+        # elements to a full +-lr step, masking real equivalence)
+        net.tx = {k: optax.sgd(1e-2) for k in net.tx}
+        net.state["opt"] = {
+            k: net.tx[k].init(net.state["params"][k]) for k in net.tx
+        }
+        return net
+
+    net_a = to_sgd(CSModel(cfg=tiny_cfg("Mixed"), seed=4))
+    net_a.set_input(full, aux)
+    net_a.update()
+
+    cfg_b = tiny_cfg("Mixed")
+    cfg_b.grad_accum = 2
+    net_b = to_sgd(CSModel(cfg=cfg_b, seed=4))
+    net_b.set_input(full, aux)
+    net_b.update()
+
+    for name in ("net_T", "net_G", "net_R", "net_D"):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(net_a.state["params"][name]),
+            jax.tree_util.tree_leaves(net_b.state["params"][name]),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+                err_msg=name,
+            )
+    la = net_a.get_vis("scalars")["scalars"]
+    lb = net_b.get_vis("scalars")["scalars"]
+    for k in ("loss_all", "loss_gan_sim", "loss_gan_Dfake", "loss_gan_Dreal"):
+        assert abs(la[k] - lb[k]) <= 1e-3 * max(1.0, abs(la[k])), (
+            k, la[k], lb[k]
+        )
+
+
+def test_grad_accum_gan_only_step_runs():
+    cfg = tiny_cfg("GAN-Only")
+    cfg.grad_accum = 2
+    net = CSModel(cfg=cfg, seed=5)
+    full, aux = _batch(n=8, seed=93)
+    before_D = jax.tree_util.tree_map(np.asarray, net.state["params"]["net_D"])
+    net.set_input(full, aux)
+    net.update()
+    assert np.isfinite(net.get_vis("scalars")["scalars"]["loss_all"])
+    changed = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(net.state["params"]["net_D"]),
+            jax.tree_util.tree_leaves(before_D),
+        )
+    )
+    assert changed, "net_D did not update under GAN-Only accumulation"
+
     # Rec regime runs too (T gets gradients through the ref channel)
     cfg_c = tiny_cfg("Rec")
     cfg_c.grad_accum = 2
