@@ -60,6 +60,8 @@ def build_cfg(args) -> Config:
     cfg.weight_gan_sim = args.gan_sim_weight
     cfg.weight_sim = args.sim_weight
     cfg.use_amp = args.use_amp
+    if getattr(args, "grad_accum", 1) > 1:
+        cfg.grad_accum = args.grad_accum
     if getattr(args, "net_scale", "full") == "tiny":
         # reduced architecture for CI / smoke runs; persisted in the ckpt
         # config so eval rebuilds the same scale
@@ -370,6 +372,9 @@ def build_parser():
                         choices=AUG_POLICIES)
     parser.add_argument("--prefetch", action="store_true")
     parser.add_argument("--use_amp", action="store_true")
+    parser.add_argument("--grad_accum", type=int, default=1, metavar="K",
+                        help="accumulate gradients over K micro-batches "
+                             "(one optimizer step per global batch)")
     parser.add_argument("--force_gpu", action="store_true",
                         help="accepted for reference-CLI compatibility (no-op)")
     parser.add_argument("--net_scale", type=str, default="full",
