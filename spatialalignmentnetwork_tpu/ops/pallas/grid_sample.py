@@ -248,12 +248,27 @@ def _bwd_rows_per(bi, wo, h_in, w_in, words_per_p):
     return rows_per
 
 
-def _kernel_dimg(ix_ref, iy_ref, g_ref, out_ref, *, h_in, w_in, bi):
+def _band_range(iy_block, h_in, band):
+    """Source-row band covering all taps of a block (see forward kernel).
+    Works on the [bi, wo] block directly: min/max need no flatten (the
+    [bi*wo, 1] collapse is unsupported by Mosaic layout inference)."""
+    y0i = jnp.floor(iy_block).astype(jnp.int32)
+    t0 = jnp.clip(y0i, 0, h_in - 1)
+    t1 = jnp.clip(y0i + 1, 0, h_in - 1)
+    band_start = jnp.clip(jnp.min(t0), 0, max(h_in - band, 0))
+    band_start = pl.multiple_of((band_start // 8) * 8, 8)
+    fits = jnp.max(t1) + 1 - band_start <= band
+    return band_start, fits
+
+
+def _kernel_dimg(ix_ref, iy_ref, g_ref, out_ref, *, h_in, w_in, bi, band):
     """Accumulate one g-block's contribution into the [h, w] plane.
 
     Grid (n, c, n_blocks) with the block dim innermost: the same out block
     stays resident while k sweeps the output rows, so accumulation is a
-    VMEM read-modify-write initialized at k == 0.
+    VMEM read-modify-write initialized at k == 0. The banded fast path
+    contracts only the source-row band the block's taps touch (smooth
+    displacement fields), falling back to the full [pc, h] contraction.
     """
     wo = g_ref.shape[-1]
     rows_per = _bwd_rows_per(bi, wo, h_in, w_in, h_in + 2 * w_in)
@@ -263,77 +278,105 @@ def _kernel_dimg(ix_ref, iy_ref, g_ref, out_ref, *, h_in, w_in, bi):
     iy = iy_ref[0].astype(jnp.float32)   # [bi, wo]
     ix = ix_ref[0].astype(jnp.float32)
     gg = g_ref[0, 0].astype(jnp.float32)
+    band_start, fits = _band_range(iy, h_in, band)
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    for ci in range(bi // rows_per):
-        r0 = ci * rows_per
-        iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
-        ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
-        g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (pc, h_in), 1).astype(
-            jnp.float32
-        )
-        wy = _tent(ys, iy_c)
-        xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
-            jnp.float32
-        )
-        t = _tent(xs, ix_c) * g_c
-        # contract over p: [pc, h]^T @ [pc, w] -> [h, w]
-        piece = jax.lax.dot_general(
-            wy, t, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        out_ref[0, 0] += piece.astype(out_ref.dtype)
+    def run(n_rows, y_offset):
+        acc = jnp.zeros((n_rows, w_in), jnp.float32)
+        for ci in range(bi // rows_per):
+            r0 = ci * rows_per
+            iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
+            ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
+            g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
+            ys = (
+                jax.lax.broadcasted_iota(jnp.int32, (pc, n_rows), 1)
+                + y_offset
+            ).astype(jnp.float32)
+            wy = _tent(ys, iy_c)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
+                jnp.float32
+            )
+            t = _tent(xs, ix_c) * g_c
+            # contract over p: [pc, rows]^T @ [pc, w] -> [rows, w]
+            acc += jax.lax.dot_general(
+                wy, t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return acc
+
+    @pl.when(fits)
+    def _():
+        out_ref[0, 0, pl.ds(band_start, band), :] += run(
+            band, band_start
+        ).astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(fits))
+    def _():
+        out_ref[0, 0] += run(h_in, 0).astype(out_ref.dtype)
 
 
 def _kernel_dgrid(img_ref, ix_ref, iy_ref, g_ref, dix_ref, diy_ref, *,
-                  h_in, w_in, bi):
+                  h_in, w_in, bi, band):
     """d wrt the padded pixel coords for one output block, summed over the
-    channel dim (grid (n, n_blocks, c), channels innermost -> accumulate)."""
+    channel dim (grid (n, n_blocks, c), channels innermost -> accumulate).
+    Banded like the forward: both tent and tent-derivative taps live in
+    the same source-row band."""
     wo = g_ref.shape[-1]
     rows_per = _bwd_rows_per(bi, wo, h_in, w_in, 2 * h_in + 4 * w_in)
     pc = rows_per * wo
-    src = img_ref[0, 0].astype(jnp.float32)
     iy = iy_ref[0].astype(jnp.float32)   # [bi, wo]
     ix = ix_ref[0].astype(jnp.float32)
     gg = g_ref[0, 0].astype(jnp.float32)
+    band_start, fits = _band_range(iy, h_in, band)
 
     @pl.when(pl.program_id(2) == 0)
     def _():
         dix_ref[...] = jnp.zeros(dix_ref.shape, dix_ref.dtype)
         diy_ref[...] = jnp.zeros(diy_ref.shape, diy_ref.dtype)
 
-    for ci in range(bi // rows_per):
-        r0 = ci * rows_per
-        iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
-        ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
-        g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
-        ys = jax.lax.broadcasted_iota(jnp.int32, (pc, h_in), 1).astype(
-            jnp.float32
-        )
-        xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
-            jnp.float32
-        )
-        wx = _tent(xs, ix_c)
-        dwx = _dtent(xs, ix_c)
-        mm = lambda a: jnp.dot(
-            a, src, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rows = mm(_tent(ys, iy_c))      # [pc, w]
-        rows_d = mm(_dtent(ys, iy_c))   # [pc, w]
-        dix = jnp.sum(rows * dwx, axis=1, keepdims=True) * g_c
-        diy = jnp.sum(rows_d * wx, axis=1, keepdims=True) * g_c
-        dix_ref[0, r0:r0 + rows_per, :] += dix.reshape(rows_per, wo).astype(
-            dix_ref.dtype
-        )
-        diy_ref[0, r0:r0 + rows_per, :] += diy.reshape(rows_per, wo).astype(
-            diy_ref.dtype
-        )
+    def run(src_rows, y_offset):
+        n_src = src_rows.shape[0]
+        src = src_rows.astype(jnp.float32)
+        for ci in range(bi // rows_per):
+            r0 = ci * rows_per
+            iy_c = iy[r0:r0 + rows_per].reshape(pc, 1)
+            ix_c = ix[r0:r0 + rows_per].reshape(pc, 1)
+            g_c = gg[r0:r0 + rows_per].reshape(pc, 1)
+            ys = (
+                jax.lax.broadcasted_iota(jnp.int32, (pc, n_src), 1)
+                + y_offset
+            ).astype(jnp.float32)
+            xs = jax.lax.broadcasted_iota(jnp.int32, (pc, w_in), 1).astype(
+                jnp.float32
+            )
+            wx = _tent(xs, ix_c)
+            dwx = _dtent(xs, ix_c)
+            mm = lambda a: jnp.dot(
+                a, src, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rows = mm(_tent(ys, iy_c))      # [pc, w]
+            rows_d = mm(_dtent(ys, iy_c))   # [pc, w]
+            dix = jnp.sum(rows * dwx, axis=1, keepdims=True) * g_c
+            diy = jnp.sum(rows_d * wx, axis=1, keepdims=True) * g_c
+            dix_ref[0, r0:r0 + rows_per, :] += dix.reshape(
+                rows_per, wo
+            ).astype(dix_ref.dtype)
+            diy_ref[0, r0:r0 + rows_per, :] += diy.reshape(
+                rows_per, wo
+            ).astype(diy_ref.dtype)
+
+    @pl.when(fits)
+    def _():
+        run(img_ref[0, 0, pl.ds(band_start, band), :], band_start)
+
+    @pl.when(jnp.logical_not(fits))
+    def _():
+        run(img_ref[0, 0], 0)
 
 
 def _bwd(padding_mode, interpret, res, g):
@@ -361,8 +404,9 @@ def _bwd(padding_mode, interpret, res, g):
 
     (ix, iy), coords_vjp = jax.vjp(coords, grid)
 
+    band = min(64, h)
     d_img = pl.pallas_call(
-        functools.partial(_kernel_dimg, h_in=h, w_in=w, bi=bi),
+        functools.partial(_kernel_dimg, h_in=h, w_in=w, bi=bi, band=band),
         grid=(n, c, n_blocks),
         in_specs=[
             pl.BlockSpec((1, bi, wo), lambda i, j, k: (i, k, 0)),
@@ -375,7 +419,7 @@ def _bwd(padding_mode, interpret, res, g):
     )(ix, iy, g).astype(img.dtype)
 
     d_ix, d_iy = pl.pallas_call(
-        functools.partial(_kernel_dgrid, h_in=h, w_in=w, bi=bi),
+        functools.partial(_kernel_dgrid, h_in=h, w_in=w, bi=bi, band=band),
         grid=(n, n_blocks, c),
         in_specs=[
             pl.BlockSpec((1, 1, h, w), lambda i, k, j: (i, j, 0, 0)),

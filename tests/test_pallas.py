@@ -40,12 +40,27 @@ def test_pallas_grid_sample_banded_fast_path():
         (rng.standard_normal((n, h, w, 2)) * 0.02).astype(np.float32)
     )
     grid = ident + offset  # taps within a few rows of the identity band
+    cot = jnp.asarray(rng.standard_normal((n, c, h, w)).astype(np.float32))
     for pm in ("zeros", "border", "reflection"):
         got = grid_sample_pallas(img, grid, pm)
         want = ref_sample(img, grid, pm)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
         )
+        # h=96 > band=64: the BACKWARD kernels' banded path is live here
+        gp = jax.grad(
+            lambda i, g: jnp.sum(grid_sample_pallas(i, g, pm) * cot),
+            argnums=(0, 1),
+        )(img, grid)
+        gr = jax.grad(
+            lambda i, g: jnp.sum(ref_sample(i, g, pm, impl="jnp") * cot),
+            argnums=(0, 1),
+        )(img, grid)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                err_msg=f"banded bwd pm={pm}",
+            )
 
 
 def test_pallas_grid_sample_band_boundary_taps():
