@@ -68,6 +68,33 @@ def _chain_flops(run_chain, *args):
     return float("nan"), "unavailable"
 
 
+def _backend_probe_tflops(iters=8, size=4096):
+    """Measured TFLOP/s of a serialized f32 matmul chain with KNOWN FLOPs.
+
+    A backend that acks dispatches without executing (see PERF.md) returns
+    instantly and 'measures' far beyond the chip peak; callers mark their
+    results suspect when this probe exceeds the platform ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((size, size), jnp.float32)
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            c = jnp.dot(c, c, preferred_element_type=jnp.float32)
+            return c / jnp.maximum(jnp.max(jnp.abs(c)), 1e-30), ()
+
+        c, _ = jax.lax.scan(body, x, (), length=iters)
+        return c
+
+    chain(x).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    chain(x).block_until_ready()
+    dt = time.perf_counter() - t0
+    return (2 * size**3 * iters) / dt / 1e12
+
+
 def _is_resource_error(e) -> bool:
     msg = str(e).upper()
     return any(s in msg for s in (
@@ -116,12 +143,26 @@ def bench_train(args):
     jax.block_until_ready(net.state["params"])
     dt = _time.perf_counter() - t0
     steps_per_sec = args.iters / dt
-    print(json.dumps({
+
+    probe = _backend_probe_tflops()
+    peak = _platform_peak_tflops()
+    result = {
         "metric": "mixed_train_steps_per_sec_b%d_320x320" % B,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * B / 10000.0, 4),
-    }))
+        "probe_tflops": round(probe, 2),
+        "peak_tflops": peak,
+    }
+    if probe > peak:
+        result["suspect"] = True
+        result["vs_baseline"] = 0.0
+        result["suspect_reason"] = (
+            f"matmul probe measured {probe:.0f} TFLOP/s on a "
+            f"{peak:.0f} TFLOP/s chip: the backend acks dispatches "
+            "without executing, timings are meaningless"
+        )
+    print(json.dumps(result))
 
 
 def bench_input(args):
