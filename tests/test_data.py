@@ -173,3 +173,60 @@ def test_augment_deterministic_given_key():
     a, _ = A.augment(x, key)
     b, _ = A.augment(x, key)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_batch_writes_h5_and_manifest(tmp_path, monkeypatch):
+    """data.convert batch mode: h5 layout + pairs.csv the datasets consume
+    (nibabel stubbed: the NIfTI decode is its job, the layout is ours)."""
+    import sys
+    import types
+
+    import h5py
+
+    from spatialalignmentnetwork_tpu.data import convert as C
+
+    rng = np.random.default_rng(0)
+    vols = {}
+
+    class _FakeNii:
+        def __init__(self, path):
+            self.path = path
+
+        def get_fdata(self):
+            return vols[self.path]
+
+    fake = types.ModuleType("nibabel")
+    fake.load = lambda p: _FakeNii(p)
+    fake.as_closest_canonical = lambda n: n
+    monkeypatch.setitem(sys.modules, "nibabel", fake)
+
+    for proto in ("T1", "T2"):
+        d = tmp_path / proto
+        d.mkdir()
+        for v in range(2):
+            path = str(d / f"s{v}.nii")
+            vols[path] = rng.random((12, 10, 3)).astype(np.float64)  # HWS
+            open(path, "w").close()
+
+    out = tmp_path / "out"
+    C.convert_batch([str(tmp_path / "T1"), str(tmp_path / "T2")],
+                    ["T1", "T2"], str(out), "pairs.csv")
+
+    rows = open(out / "pairs.csv").read().strip().splitlines()
+    assert rows == ["v0000_T1.h5,v0000_T2.h5", "v0001_T1.h5,v0001_T2.h5"]
+    with h5py.File(out / "v0000_T1.h5") as h5:
+        assert h5["image"].shape == (3, 10, 12)  # slice-major transpose
+        assert h5["image"].dtype == np.float32
+        assert h5.attrs["acquisition"] == "T1"
+        np.testing.assert_allclose(
+            h5.attrs["max"], h5["image"][()].max(), rtol=1e-6
+        )
+
+    # the converted volumes load through the paired dataset end-to-end
+    from spatialalignmentnetwork_tpu.data.paired_dataset import (
+        get_paired_volume_datasets,
+    )
+
+    ds = get_paired_volume_datasets(str(out / "pairs.csv"),
+                                    protocals=["T2", "T1"], crop=8)
+    assert len(ds) == 2 and len(ds[0]) == 3
