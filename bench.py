@@ -10,7 +10,13 @@ to the 10,000 slices/sec/chip target.
 Methodology: all timed iterations run INSIDE one jitted lax.scan whose
 carry depends on each iteration's output (a serial chain XLA cannot elide
 or overlap), so host-side dispatch overhead and async-queue artifacts are
-amortized into a single dispatch + block. Per-iteration time = total / N.
+amortized into a single dispatch + block. Timing is anchored on a DEVICE
+-> HOST SCALAR READBACK of a checksum that depends on every iteration
+(float() of the chain output), NOT on block_until_ready(): on relay/tunnel
+backends block_until_ready can ack before execution finishes, while the
+checksum bytes cannot exist until the work ran. The per-call fixed cost
+(dispatch + readback RTT) is stripped by timing the chain at two lengths,
+N and 2N, and reporting the marginal time (t_2N - t_N) / N.
 
 Usage: python bench.py [--batch N] [--iters N] [--dtype bf16|f32]
 """
@@ -68,31 +74,46 @@ def _chain_flops(run_chain, *args):
     return float("nan"), "unavailable"
 
 
-def _backend_probe_tflops(iters=8, size=4096):
-    """Measured TFLOP/s of a serialized f32 matmul chain with KNOWN FLOPs.
+def _backend_probe_tflops(iters=24, size=4096):
+    """Measured TFLOP/s of a serialized bf16 matmul chain with KNOWN FLOPs,
+    anchored on a scalar readback (see module docstring: block_until_ready
+    can ack early on relay backends; a checksum readback cannot).
 
-    A backend that acks dispatches without executing (see PERF.md) returns
-    instantly and 'measures' far beyond the chip peak; callers mark their
-    results suspect when this probe exceeds the platform ceiling."""
+    Two roles: (a) if even the readback-anchored probe exceeds the chip
+    peak, the backend is fabricating results and every measurement is
+    suspect; (b) on a healthy backend it reports the achievable matmul
+    ceiling for context."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.ones((size, size), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (size, size), jnp.bfloat16)
 
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            c = jnp.dot(c, c, preferred_element_type=jnp.float32)
-            return c / jnp.maximum(jnp.max(jnp.abs(c)), 1e-30), ()
+    def make_chain(n):
+        @jax.jit
+        def chain(x):
+            def body(c, _):
+                c = c @ c
+                scale = jnp.maximum(jnp.max(jnp.abs(c)), 1e-20)
+                return (c / scale).astype(jnp.bfloat16), ()
 
-        c, _ = jax.lax.scan(body, x, (), length=iters)
-        return c
+            c, _ = jax.lax.scan(body, x, (), length=n)
+            return jnp.sum(c.astype(jnp.float32))
 
-    chain(x).block_until_ready()  # compile
+        return chain
+
+    short, long = make_chain(iters), make_chain(2 * iters)
+    float(short(x)), float(long(x))  # compile + warm
+    t_short = min(_readback_time(short, x) for _ in range(3))
+    t_long = min(_readback_time(long, x) for _ in range(3))
+    marginal = max(t_long - t_short, 1e-9)
+    return (2 * size**3 * iters) / marginal / 1e12
+
+
+def _readback_time(fn, *args):
+    """Wall time of fn(*args) anchored on a host readback of its scalar."""
     t0 = time.perf_counter()
-    chain(x).block_until_ready()
-    dt = time.perf_counter() - t0
-    return (2 * size**3 * iters) / dt / 1e12
+    float(fn(*args))
+    return time.perf_counter() - t0
 
 
 def _is_resource_error(e) -> bool:
@@ -137,11 +158,24 @@ def bench_train(args):
     net.update()  # compile
     jax.block_until_ready(net.state["params"])
 
-    t0 = _time.perf_counter()
-    for _ in range(args.iters):
-        net.update()
-    jax.block_until_ready(net.state["params"])
-    dt = _time.perf_counter() - t0
+    def checksum():
+        # device->host readback of a freshly-produced param leaf: cannot
+        # complete until every queued update actually executed (see module
+        # docstring re block_until_ready on relay backends)
+        leaf = jax.tree_util.tree_leaves(net.state["params"])[0]
+        return float(np.asarray(leaf).ravel()[0])
+
+    def timed(n):
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            net.update()
+        checksum()
+        return _time.perf_counter() - t0
+
+    timed(2)  # warm
+    t_short = timed(args.iters)
+    t_long = timed(2 * args.iters)
+    dt = max(t_long - t_short, 1e-9)
     steps_per_sec = args.iters / dt
 
     probe = _backend_probe_tflops()
@@ -258,9 +292,11 @@ def main():
     net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
                  pools=4, use_ref=True, dtype=dtype)
 
+    from spatialalignmentnetwork_tpu.utils.transfer import to_device
+
     rng = np.random.default_rng(0)
     B = args.batch
-    k = jnp.asarray(
+    k = to_device(
         (rng.standard_normal((B, 1, shape, shape))
          + 1j * rng.standard_normal((B, 1, shape, shape))).astype(np.complex64)
     )
@@ -271,29 +307,37 @@ def main():
         np.abs(rng.standard_normal((B, 1, shape, shape))).astype(np.float32)
     )
 
-    params = net.init(jax.random.PRNGKey(0), k, mask, ref, num_low)
+    params = jax.jit(
+        lambda r, k, m, rf: net.init(r, k, m, rf, num_low)
+    )(jax.random.PRNGKey(0), k, mask, ref)
 
     n_iters = args.iters
 
-    @jax.jit
-    def run_chain(params, k, mask, ref):
-        def body(carry, _):
-            out = net.apply(params, carry, mask, ref, num_low)
-            # serialize: next input depends (negligibly) on this output so
-            # XLA cannot drop, reorder, or overlap iterations
-            carry = carry + (1e-30 * jnp.mean(out)).astype(carry.dtype)
-            return carry, ()
+    def make_chain(length):
+        @jax.jit
+        def run_chain(params, k, mask, ref):
+            def body(carry, _):
+                out = net.apply(params, carry, mask, ref, num_low)
+                # serialize: next input depends (negligibly) on this output
+                # so XLA cannot drop, reorder, or overlap iterations
+                carry = carry + (1e-30 * jnp.mean(out)).astype(carry.dtype)
+                return carry, ()
 
-        carry, _ = jax.lax.scan(body, k, (), length=n_iters)
-        return carry
+            carry, _ = jax.lax.scan(body, k, (), length=length)
+            # scalar checksum: the readback anchor that forces execution
+            return jnp.sum(jnp.abs(carry)).astype(jnp.float32)
+
+        return run_chain
 
     # robustness: halve the batch ONLY on resource exhaustion so the
     # benchmark degrades (loudly) on smaller chips; any other failure is a
     # real bug and must surface
     while True:
         try:
-            out = run_chain(params, k, mask, ref)
-            out.block_until_ready()  # warm compile
+            run_short = make_chain(n_iters)
+            run_long = make_chain(2 * n_iters)
+            float(run_short(params, k, mask, ref))  # warm compile
+            float(run_long(params, k, mask, ref))
             break
         except Exception as e:
             if not _is_resource_error(e) or B <= 1:
@@ -303,21 +347,20 @@ def main():
                   file=sys.stderr)
             k, ref = k[:B], ref[:B]
 
-    flops_chain, flops_src = _chain_flops(run_chain, params, k, mask, ref)
+    flops_chain, flops_src = _chain_flops(run_short, params, k, mask, ref)
     if np.isfinite(flops_chain):
         flops_per_slice = flops_chain / (B * n_iters)
     else:
         flops_per_slice = _ANALYTIC_FLOPS_PER_SLICE
         flops_src = "analytic_perf_md"
 
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        out = run_chain(params, k, mask, ref)
-        out.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
+    # marginal timing strips the per-call fixed cost (dispatch + readback
+    # RTT); both chains are timed with the scalar-checksum anchor
+    t_short = min(_readback_time(run_short, params, k, mask, ref)
+                  for _ in range(args.repeats))
+    t_long = min(_readback_time(run_long, params, k, mask, ref)
+                 for _ in range(args.repeats))
+    best = max(t_long - t_short, 1e-9)
     slices_per_sec = B * n_iters / best
 
     # plausibility guard: a result implying >100% MFU is physically

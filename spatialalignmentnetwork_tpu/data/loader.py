@@ -34,11 +34,11 @@ def device_prefetch(iterator, size=2):
     in-flight device arrays is enough to pipeline them)."""
     import collections
 
-    import jax.numpy as jnp
+    from ..utils.transfer import to_device
 
     buf = collections.deque()
     for batch in iterator:
-        buf.append([jnp.asarray(x) for x in batch])
+        buf.append([to_device(x) for x in batch])
         if len(buf) >= size:
             yield buf.popleft()
     while buf:

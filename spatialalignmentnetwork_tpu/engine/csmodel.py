@@ -110,15 +110,22 @@ class CSModel:
         img = jnp.zeros((2, coils, shape, shape), jnp.float32)
         imgc = img.astype(jnp.complex64)
         rss1 = jnp.zeros((2, 1, shape, shape), jnp.float32)
-        vG = self.net_G.init({"params": kG}, rss1, train=False)
-        vD = self.net_D.init(
-            {"params": kD}, jnp.concatenate([rss1, rss1], 1), train=False
-        )
-        vT = self.net_T.init({"params": kT}, img, img, train=False)
-        vR = self.net_R.init(
-            {"params": kR}, imgc, jnp.ones(shape, bool), img,
-            self.num_low_frequencies
-        )
+        # every init is jitted: eager flax init dispatches ops one at a
+        # time, and eagerly materializing complex scalar constants (1j)
+        # hits the relay backends' missing complex DMA (utils/transfer.py)
+        num_low = self.num_low_frequencies
+        vG = jax.jit(
+            lambda k, x: self.net_G.init({"params": k}, x, train=False)
+        )(kG, rss1)
+        vD = jax.jit(
+            lambda k, x: self.net_D.init({"params": k}, x, train=False)
+        )(kD, jnp.concatenate([rss1, rss1], 1))
+        vT = jax.jit(
+            lambda k, a, b: self.net_T.init({"params": k}, a, b, train=False)
+        )(kT, img, img)
+        vR = jax.jit(
+            lambda k, kc, m, r: self.net_R.init({"params": k}, kc, m, r, num_low)
+        )(kR, imgc, jnp.ones(shape, bool), img)
 
         params = {
             "net_G": vG["params"],
@@ -724,11 +731,13 @@ class CSModel:
             )
             self._batch = (img_full, img_aux)
             return
-        img_full = jnp.asarray(img_full)
+        from ..utils.transfer import to_device
+
+        img_full = to_device(img_full)
         if img_aux is None:
             img_aux = jnp.zeros_like(img_full)
         else:
-            img_aux = jnp.asarray(img_aux)
+            img_aux = to_device(img_aux)
         if self._dp_active(img_full.shape):
             from ..parallel.mesh import shard_batch
 
@@ -796,9 +805,11 @@ class CSModel:
         aligned-reference-guided reconstruction [N, 1, H, W] (real).
         Eval-mode, jitted, cached per batch shape.
         """
-        img_full = jnp.asarray(img_full)
+        from ..utils.transfer import to_device
+
+        img_full = to_device(img_full)
         img_aux = (
-            jnp.zeros_like(img_full) if img_aux is None else jnp.asarray(img_aux)
+            jnp.zeros_like(img_full) if img_aux is None else to_device(img_aux)
         )
         key = ("recon", img_full.shape)
         if key not in self._step_cache:

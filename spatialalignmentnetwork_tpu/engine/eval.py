@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from ..data.paired_dataset import get_paired_volume_datasets
 from ..data.augment import scaled_deformation
 from ..ops.crop import center_crop
+from ..utils.transfer import to_device
 from .csmodel import CSModel
 
 
@@ -79,7 +80,7 @@ def main(args):
     stat_eval = []
     for i, volume in enumerate(volumes):
         batch = [
-            jnp.asarray(np.stack(s, axis=0))
+            to_device(np.stack(s, axis=0))
             for s in zip(*[volume[j] for j in range(len(volume))])
         ]
         if args.aux_aug > 0:

@@ -30,6 +30,7 @@ from ..data.loader import Loader, Prefetch
 from ..data.augment import augment_batch
 from ..ops.crop import center_crop
 from ..utils.visualize import save_image
+from ..utils.transfer import to_device
 from .config import Config
 from .csmodel import CSModel
 
@@ -200,7 +201,7 @@ def main(args):
     vis_idx = vis_rng.permutation(len(slices_val))[:len_vis]
     vis_items = [slices_val[int(i)] for i in vis_idx]
     batch_vis = [
-        jnp.asarray(np.stack([it[m] for it in vis_items], 0))
+        to_device(np.stack([it[m] for it in vis_items], 0))
         for m in range(len(vis_items[0]))
     ]
 
@@ -289,7 +290,7 @@ def main(args):
         net.eval()
         stat_eval, stat_loss = [], []
         for batch in loader_val:
-            batch_dev = [jnp.asarray(x) for x in batch]
+            batch_dev = [to_device(x) for x in batch]
             batch_dev = [center_crop(x, (cfg.shape, cfg.shape)) for x in batch_dev]
             net.set_input(*batch_dev)
             stat_loss.append(net.test())

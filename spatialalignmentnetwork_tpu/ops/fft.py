@@ -38,11 +38,18 @@ def set_fft_impl(impl: str):
 
 @functools.lru_cache(maxsize=32)
 def _dft_matrix(n: int, inverse: bool):
-    """Orthonormal (unitary) DFT matrix, complex64. Symmetric."""
+    """Orthonormal (unitary) DFT matrix, complex64. Symmetric.
+
+    Built on device from a planar real/imag f32 pair: complex host->device
+    DMA is unimplemented on some relay backends (utils/transfer.py), and
+    the constant is cached per size anyway.
+    """
     k = np.arange(n)
-    sign = 2j if inverse else -2j
-    w = np.exp(sign * np.pi * np.outer(k, k) / n) / np.sqrt(n)
-    return jnp.asarray(w.astype(np.complex64))
+    ang = (2 if inverse else -2) * np.pi * np.outer(k, k) / n
+    scale = 1.0 / np.sqrt(n)
+    re = jnp.asarray((np.cos(ang) * scale).astype(np.float32))
+    im = jnp.asarray((np.sin(ang) * scale).astype(np.float32))
+    return jax.lax.complex(re, im)
 
 
 def _use_matmul(n_h, n_w):

@@ -48,9 +48,15 @@ def replicate_state(mesh: Mesh, state):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Shard each array's leading (batch) axis across the mesh."""
+    """Shard each array's leading (batch) axis across the mesh.
+
+    Complex-safe: complex leaves cross host->device as planar f32 pairs
+    (utils.transfer), required on relay backends without complex DMA.
+    """
+    from ..utils.transfer import tree_to_device
+
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
-    return jax.device_put(batch, sharding)
+    return tree_to_device(batch, sharding)
 
 
 def shard_batch_multihost(mesh: Mesh, local_batch):
@@ -62,12 +68,9 @@ def shard_batch_multihost(mesh: Mesh, local_batch):
     global array without any cross-host data movement. On a single host
     this degenerates to shard_batch.
     """
-    import numpy as np
+    from ..utils.transfer import multihost_to_device
 
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
     return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(
-            sharding, np.asarray(x)
-        ),
-        local_batch,
+        lambda x: multihost_to_device(sharding, x), local_batch
     )

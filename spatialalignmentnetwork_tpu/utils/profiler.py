@@ -75,7 +75,9 @@ def main():
 
     shape, B = args.shape, args.batch
     rng = np.random.default_rng(0)
-    full = jnp.asarray(
+    from .transfer import to_device
+
+    full = to_device(
         (rng.random((B, 1, shape, shape))
          + 1j * rng.random((B, 1, shape, shape))).astype(np.complex64)
     )
@@ -87,7 +89,9 @@ def main():
     # NetD
     net_D = NetD()
     xd = jnp.concatenate([full_rss] * 2, axis=1)
-    vD = net_D.init({"params": jax.random.PRNGKey(0)}, xd, train=False)
+    vD = jax.jit(
+        lambda k, x: net_D.init({"params": k}, x, train=False)
+    )(jax.random.PRNGKey(0), xd)
     fD = jax.jit(lambda v, x: net_D.apply(v, x, train=False))
     rows.append(("NetD", param_count(vD["params"]),
                  flops_of(lambda v, x: net_D.apply(v, x, train=False), vD, xd),
@@ -95,7 +99,9 @@ def main():
 
     # NetG
     net_G = NetG()
-    vG = net_G.init({"params": jax.random.PRNGKey(1)}, full_rss, train=False)
+    vG = jax.jit(
+        lambda k, x: net_G.init({"params": k}, x, train=False)
+    )(jax.random.PRNGKey(1), full_rss)
     fG = jax.jit(lambda v, x: net_G.apply(v, x, train=False))
     rows.append(("NetG", param_count(vG["params"]),
                  flops_of(lambda v, x: net_G.apply(v, x, train=False), vG, full_rss),
@@ -103,8 +109,9 @@ def main():
 
     # NetT
     net_T = SpatialTransformer(channels=1)
-    vT = net_T.init({"params": jax.random.PRNGKey(2)}, full_rss, full_rss,
-                    train=False)
+    vT = jax.jit(
+        lambda k, a, b: net_T.init({"params": k}, a, b, train=False)
+    )(jax.random.PRNGKey(2), full_rss, full_rss)
     fT = jax.jit(lambda v, a, b: net_T.apply(v, a, b, train=False))
     rows.append(("NetT", param_count(vT["params"]),
                  flops_of(lambda v, a, b: net_T.apply(v, a, b, train=False),
@@ -115,7 +122,9 @@ def main():
     net_R = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
                    pools=4, use_ref=True)
     mask = jnp.ones(shape, bool)
-    vR = net_R.init(jax.random.PRNGKey(3), full, mask, full_rss, num_low)
+    vR = jax.jit(
+        lambda k, kc, m, r: net_R.init(k, kc, m, r, num_low)
+    )(jax.random.PRNGKey(3), full, mask, full_rss)
     fR = jax.jit(lambda v, k, m, r: net_R.apply(v, k, m, r, num_low))
     rows.append(("NetR", param_count(vR["params"]),
                  flops_of(lambda v, k, m, r: net_R.apply(v, k, m, r, num_low),
