@@ -120,6 +120,10 @@ class NormUnet(nn.Module):
     in_chans: int = 1
     out_chans: int = 1
     use_ref: bool = False
+    # ref arrives already instance-normalized AND padded-to-16 (both are
+    # shape-only-dependent, so a caller invoking this module repeatedly on
+    # the same ref — e.g. the VarNet cascade scan — hoists them out)
+    ref_prenormalized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,8 +137,9 @@ class NormUnet(nn.Module):
 
         if self.use_ref:
             assert ref is not None and not jnp.iscomplexobj(ref)
-            ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
-            ref, _ = pad_to_16(ref)
+            if not self.ref_prenormalized:
+                ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
+                ref, _ = pad_to_16(ref)
             x = jnp.concatenate([x, ref], axis=1)
         else:
             assert ref is None

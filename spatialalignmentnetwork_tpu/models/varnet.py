@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops.fft import fft2, ifft2, rss
-from .unet import NormUnet
+from .layers import instance_norm, nchw_to_nhwc, nhwc_to_nchw
+from .unet import NormUnet, pad_to_16
 
 
 def acs_mask(width: int, num_low_frequencies: int, dtype=jnp.float32):
@@ -73,7 +74,8 @@ class VarNetBlock(nn.Module):
             ifft2(current_kspace) * jnp.conj(sens_maps), axis=1, keepdims=True
         )
         image = NormUnet(
-            self.chans, self.pools, use_ref=self.use_ref, dtype=self.dtype
+            self.chans, self.pools, use_ref=self.use_ref,
+            ref_prenormalized=True, dtype=self.dtype,
         )(image, ref_image if self.use_ref else None)
         model_term = fft2(image * sens_maps)
         # soft data consistency on sampled lines
@@ -105,7 +107,12 @@ class VarNet(nn.Module):
         )(masked_kspace, num_low_frequencies)
 
         if self.use_ref:
+            # hoist the cascade-invariant ref preprocessing (instance norm +
+            # pad-to-16, reference varnet.py:315-319) out of the scan: it
+            # would otherwise be recomputed identically in all 8 cascades
             ref = rss(ref)
+            ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
+            ref, _ = pad_to_16(ref)
         else:
             ref = None
 
