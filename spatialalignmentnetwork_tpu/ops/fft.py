@@ -21,55 +21,86 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# FFT implementation selection. XLA's TPU FFT lowering can be slow for
-# small batched transforms; an orthonormal DFT is a pair of [n, n] complex
-# matmuls that ride the MXU at full throughput (n=320 => ~0.26 GFLOP per
-# plane-axis, trivially fused with neighbours). The matmul path is opt-in
-# (SAN_TPU_FFT=matmul or set_fft_impl) pending A/B measurement on target
-# hardware; 'auto' currently resolves to the native XLA FFT.
+# FFT implementation selection. XLA's TPU FFT lowering is slow for small
+# batched transforms: measured on a v5e (B=64, 320x320 c64), native fft2 =
+# 2.38 ms while the orthonormal DFT as four real [n, n] matmuls per axis =
+# 0.97 ms at precision HIGH (bf16x3, 2.3e-5 max rel err) / 1.85 ms at
+# HIGHEST (f32-exact, 5e-7) — docs/perf_ab_r02.jsonl. 'auto' resolves to
+# the matmul path on TPU backends and native FFT elsewhere; 'xla' forces
+# the native FFT (strict-parity runs).
 _FFT_IMPL = os.environ.get("SAN_TPU_FFT", "auto")  # auto | xla | matmul
+# matmul-DFT accumulation: 'high' (bf16x3 passes, default) | 'highest'
+_FFT_MATMUL_PRECISION = os.environ.get("SAN_TPU_FFT_PRECISION", "high")
 
 
-def set_fft_impl(impl: str):
-    global _FFT_IMPL
+def set_fft_impl(impl: str, precision: str = None):
+    global _FFT_IMPL, _FFT_MATMUL_PRECISION
     assert impl in ("auto", "xla", "matmul")
     _FFT_IMPL = impl
+    if precision is not None:
+        assert precision in ("high", "highest")
+        _FFT_MATMUL_PRECISION = precision
 
 
 @functools.lru_cache(maxsize=32)
 def _dft_matrix(n: int, inverse: bool):
-    """Orthonormal (unitary) DFT matrix, complex64. Symmetric.
+    """Real/imag f32 NUMPY pair of the orthonormal (unitary) DFT matrix.
 
-    Built on device from a planar real/imag f32 pair: complex host->device
-    DMA is unimplemented on some relay backends (utils/transfer.py), and
-    the constant is cached per size anyway.
-    """
+    Kept as two real host matrices: (a) complex host->device DMA is
+    unimplemented on some relay backends (utils/transfer.py), (b) the
+    transform is computed with real matmuls anyway (below), and (c) numpy
+    constants are safe to cache across jit traces (device arrays created
+    inside a trace would leak tracers)."""
     k = np.arange(n)
     ang = (2 if inverse else -2) * np.pi * np.outer(k, k) / n
     scale = 1.0 / np.sqrt(n)
-    re = jnp.asarray((np.cos(ang) * scale).astype(np.float32))
-    im = jnp.asarray((np.sin(ang) * scale).astype(np.float32))
-    return jax.lax.complex(re, im)
+    return (
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
+    )
 
 
 def _use_matmul(n_h, n_w):
+    if _FFT_IMPL == "xla":
+        return False
     if _FFT_IMPL == "matmul":
         return max(n_h, n_w) <= 2048
-    return False  # 'auto' and 'xla': native FFT
+    # auto: matmul-DFT on TPU (measured 2.4x the native FFT), native
+    # elsewhere (CPU FFT beats O(n^2) matmuls)
+    try:
+        import jax as _jax
+
+        return (_jax.devices()[0].platform == "tpu"
+                and max(n_h, n_w) <= 2048)
+    except Exception:
+        return False
 
 
 def _dft2(x, inverse):
+    """2-D DFT as four real matmuls per axis (complex arithmetic expanded
+    over a planar real/imag pair — the MXU has no complex type, and this
+    also sidesteps relay backends' broken complex-einsum lowering)."""
     h, w = x.shape[-2], x.shape[-1]
-    wh = _dft_matrix(h, inverse)
-    ww = _dft_matrix(w, inverse)
+    whr, whi = _dft_matrix(h, inverse)
+    wwr, wwi = _dft_matrix(w, inverse)
     x = x.astype(jnp.complex64)
-    # transform H axis: sum_h Wh[k, h] x[..., h, w]; DFT matrices are
-    # symmetric so the W-axis transform is a plain right-multiply.
-    # precision=HIGHEST keeps the unitary transform at true f32 (TPU default
-    # matmul precision truncates operands to bf16).
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("kh,nchw->nckw", wh, x, precision=hi)
-    return jnp.einsum("nckw,wl->nckl", x, ww, precision=hi)
+    a, b = jnp.real(x), jnp.imag(x)
+    prec = (jax.lax.Precision.HIGHEST
+            if _FFT_MATMUL_PRECISION == "highest"
+            else jax.lax.Precision.HIGH)
+
+    def mm_h(u, m):  # transform the H axis: sum_h m[k, h] u[..., h, w]
+        return jnp.einsum("kh,nchw->nckw", m, u, precision=prec)
+
+    ar = mm_h(a, whr) - mm_h(b, whi)
+    ai = mm_h(a, whi) + mm_h(b, whr)
+
+    def mm_w(u, m):  # W axis; DFT matrices are symmetric: right-multiply
+        return jnp.einsum("nckw,wl->nckl", u, m, precision=prec)
+
+    rr = mm_w(ar, wwr) - mm_w(ai, wwi)
+    ri = mm_w(ar, wwi) + mm_w(ai, wwr)
+    return jax.lax.complex(rr, ri)
 
 
 def fft2(x: jnp.ndarray) -> jnp.ndarray:

@@ -215,3 +215,38 @@ def test_pallas_grid_sample_grads_match_reference():
                     np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
                     err_msg=f"pm={pm} shape={(h, w, ho, wo)}",
                 )
+
+
+def test_pallas_conv3x3_s2d_matches_xla():
+    from spatialalignmentnetwork_tpu.ops.pallas.conv import conv3x3_s2d
+
+    rng = np.random.default_rng(7)
+    for (n, h, w, cin, cout) in ((2, 16, 16, 18, 18), (1, 40, 24, 4, 8)):
+        x = jnp.asarray(rng.standard_normal((n, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            (rng.standard_normal((3, 3, cin, cout)) * 0.2).astype(np.float32)
+        )
+        want = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        got = conv3x3_s2d(x, k, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+        cot = jnp.asarray(rng.standard_normal(want.shape).astype(np.float32))
+        gp = jax.grad(lambda x, k: jnp.sum(conv3x3_s2d(x, k, True) * cot),
+                      argnums=(0, 1))(x, k)
+        gr = jax.grad(
+            lambda x, k: jnp.sum(
+                jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ) * cot
+            ),
+            argnums=(0, 1),
+        )(x, k)
+        for a, b in zip(gp, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+            )
