@@ -96,7 +96,12 @@ class CSModel:
             chans=cfg.get("net_R_chans", 18),
             pools=cfg.get("net_R_pools", 4),
             use_ref=True,
-            remat=bool(cfg.get("net_R_remat", False)),
+            # remat defaults ON: without it the backward stores all 8
+            # cascades' UNet activations in conv-padded layouts — measured
+            # 49.5 GB at batch 8 on a 16 GB v5e (bench --mode train OOM);
+            # with it the scan stores only the k-space carries. Forward-only
+            # paths (eval/serving) are unaffected by remat.
+            remat=bool(cfg.get("net_R_remat", True)),
             dtype=self.dtype,
         )
 

@@ -43,6 +43,10 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    if getattr(args, "fft", None):
+        from ..ops.fft import set_fft_impl
+
+        set_fft_impl(args.fft)
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -148,6 +152,10 @@ def build_parser():
     parser.add_argument("--matmul_precision", type=str, default=None,
                         choices=["default", "high", "highest"],
                         help="jax matmul/conv precision (TPU parity knob)")
+    parser.add_argument("--fft", type=str, default=None,
+                        choices=["auto", "xla", "matmul"],
+                        help="FFT implementation: auto picks matmul-DFT on "
+                             "TPU, xla forces the native FFT")
     args = parser.parse_args()
     return args
 

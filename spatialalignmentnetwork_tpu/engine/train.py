@@ -88,6 +88,10 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
+    if getattr(args, "fft", None):
+        from ..ops.fft import set_fft_impl
+
+        set_fft_impl(args.fft)
     if getattr(args, "dist_coordinator", None):
         # multi-host SPMD: one process per host, all running this CLI with
         # the same flags; jax.devices() then spans every host's chips
@@ -390,6 +394,11 @@ def build_parser():
     parser.add_argument("--matmul_precision", type=str, default=None,
                         choices=["default", "high", "highest"],
                         help="jax matmul/conv precision (TPU parity knob)")
+    parser.add_argument("--fft", type=str, default=None,
+                        choices=["auto", "xla", "matmul"],
+                        help="FFT implementation: auto picks matmul-DFT on "
+                             "TPU (2.4x the native FFT at 320), xla forces "
+                             "the native FFT (strict-parity runs)")
     parser.add_argument("--trace_at", type=int, default=0, metavar="N",
                         help="capture a jax.profiler trace at iteration N")
     parser.add_argument("--save_opt", action="store_true",
