@@ -276,11 +276,22 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--fft", type=str, default="auto",
+    # default None: leave the SAN_TPU_FFT env setting (or 'auto') in
+    # effect instead of silently clobbering it
+    p.add_argument("--fft", type=str, default=None,
                    choices=["auto", "xla", "matmul"])
+    # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
+    # cannot force a platform — mirror train/eval's --platform flag
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu, tpu)")
     p.add_argument("--mode", type=str, default="recon",
                    choices=["recon", "train", "input"])
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     if args.mode == "input":
         bench_input(args)
@@ -362,11 +373,16 @@ def main():
                   file=sys.stderr)
             k, ref = k[:B], ref[:B]
 
+    from spatialalignmentnetwork_tpu.ops.fft import active_fft_impl
     from spatialalignmentnetwork_tpu.utils.flops import varnet_flops
 
+    # count the FFT work actually dispatched: the matmul-DFT does ~60x the
+    # native FFT's FLOPs (it wins on wall-clock, not FLOPs) and MFU would
+    # otherwise be understated by ~10%
     flops_per_slice = varnet_flops(
         shape, coils=1, num_cascades=8, sens_chans=8, sens_pools=4,
         chans=18, pools=4, use_ref=True,
+        fft_impl=active_fft_impl(shape, shape),
     )
     flops_src = "analytic"
     # cross-check only; see the loop-body note at the top of this file

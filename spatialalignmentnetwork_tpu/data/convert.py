@@ -100,6 +100,10 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.batch:
+        if not args.protocals or len(args.protocals) != len(args.batch):
+            p.error("--batch needs --protocals with one name per directory "
+                    f"(got {len(args.batch)} dirs, "
+                    f"{len(args.protocals or [])} protocals)")
         convert_batch(args.batch, args.protocals, args.out, args.manifest)
     elif len(args.paths) == 3:
         convert(*args.paths)

@@ -724,15 +724,21 @@ class CSModel:
         if mesh is not None and jax.process_count() > 1:
             # multi-host: the caller passes this process's LOCAL shard of
             # the global batch (rows for its addressable devices); glue the
-            # host shards into one global array without cross-host copies
-            import numpy as np
+            # shards into one global array without cross-host copies.
+            # Device inputs (the jit-preprocessed train batches) stay on
+            # device — transfer.multihost_to_device slices them
+            # device-to-device instead of forcing a host round trip.
             from ..parallel.mesh import shard_batch_multihost
 
-            img_full = np.asarray(img_full)
             if img_aux is None:
-                img_aux = np.zeros_like(img_full)
+                if isinstance(img_full, jax.Array):
+                    img_aux = jnp.zeros_like(img_full)
+                else:
+                    import numpy as np
+
+                    img_aux = np.zeros_like(np.asarray(img_full))
             img_full, img_aux = shard_batch_multihost(
-                mesh, (img_full, np.asarray(img_aux))
+                mesh, (img_full, img_aux)
             )
             self._batch = (img_full, img_aux)
             return

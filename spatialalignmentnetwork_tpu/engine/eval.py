@@ -43,10 +43,16 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
-    if getattr(args, "fft", None):
+    if getattr(args, "fft", None) or (
+        getattr(args, "matmul_precision", None) == "highest"
+    ):
         from ..ops.fft import set_fft_impl
 
-        set_fft_impl(args.fft)
+        # strict-parity runs pin the matmul-DFT to f32-exact accumulation
+        set_fft_impl(
+            getattr(args, "fft", None),
+            "highest" if args.matmul_precision == "highest" else None,
+        )
     from ..utils.cache import enable_compilation_cache
 
     enable_compilation_cache()

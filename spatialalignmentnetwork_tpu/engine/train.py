@@ -88,10 +88,18 @@ def main(args):
         jax.config.update(
             "jax_default_matmul_precision", args.matmul_precision
         )
-    if getattr(args, "fft", None):
+    if getattr(args, "fft", None) or (
+        getattr(args, "matmul_precision", None) == "highest"
+    ):
         from ..ops.fft import set_fft_impl
 
-        set_fft_impl(args.fft)
+        # --matmul_precision highest is the strict-parity knob: it must
+        # also pin the matmul-DFT to f32-exact accumulation, or the
+        # TPU-default DFT path would silently keep its bf16x3 rounding
+        set_fft_impl(
+            getattr(args, "fft", None),
+            "highest" if args.matmul_precision == "highest" else None,
+        )
     if getattr(args, "dist_coordinator", None):
         # multi-host SPMD: one process per host, all running this CLI with
         # the same flags; jax.devices() then spans every host's chips
@@ -238,6 +246,11 @@ def main(args):
             time_data = time.time() - time_start
             iter_cnt += 1
             rng, k = jax.random.split(rng)
+            if jax.process_count() > 1:
+                # every process holds the same seed (asserted at startup);
+                # without folding in the process index, row j of every
+                # host would receive byte-identical augmentation draws
+                k = jax.random.fold_in(k, jax.process_index())
             batch_dev = preprocess(batch_dev0, k)
             if trace_at and iter_cnt == trace_at:
                 jax.profiler.start_trace(args.logdir + "/trace")

@@ -33,10 +33,13 @@ _FFT_IMPL = os.environ.get("SAN_TPU_FFT", "auto")  # auto | xla | matmul
 _FFT_MATMUL_PRECISION = os.environ.get("SAN_TPU_FFT_PRECISION", "high")
 
 
-def set_fft_impl(impl: str, precision: str = None):
+def set_fft_impl(impl: str = None, precision: str = None):
+    """Select the FFT implementation and/or matmul-DFT accumulation
+    precision; None leaves the respective setting unchanged."""
     global _FFT_IMPL, _FFT_MATMUL_PRECISION
-    assert impl in ("auto", "xla", "matmul")
-    _FFT_IMPL = impl
+    if impl is not None:
+        assert impl in ("auto", "xla", "matmul")
+        _FFT_IMPL = impl
     if precision is not None:
         assert precision in ("high", "highest")
         _FFT_MATMUL_PRECISION = precision
@@ -65,15 +68,23 @@ def _use_matmul(n_h, n_w):
         return False
     if _FFT_IMPL == "matmul":
         return max(n_h, n_w) <= 2048
-    # auto: matmul-DFT on TPU (measured 2.4x the native FFT), native
-    # elsewhere (CPU FFT beats O(n^2) matmuls)
+    # auto: matmul-DFT on TPU backends (measured 2.4x the native FFT),
+    # native elsewhere (CPU FFT beats O(n^2) matmuls). 'axon' is the
+    # relayed-TPU backend — same dispatch convention as the other auto
+    # paths (ops/ssim.py:51, ops/grid_sample.py:95).
     try:
         import jax as _jax
 
-        return (_jax.devices()[0].platform == "tpu"
+        return (_jax.default_backend() in ("tpu", "axon")
                 and max(n_h, n_w) <= 2048)
     except Exception:
         return False
+
+
+def active_fft_impl(n_h, n_w):
+    """The implementation fft2/ifft2 would dispatch for this plane size
+    under the current settings: 'matmul' or 'xla'."""
+    return "matmul" if _use_matmul(n_h, n_w) else "xla"
 
 
 def _dft2(x, inverse):

@@ -236,16 +236,13 @@ def _dtent(coord_iota, c):
 
 
 def _bwd_rows_per(bi, wo, h_in, w_in, words_per_p):
-    """Chunk height for the backward contractions. Mosaic's layout
-    inference only supports the [rows, wo] -> [rows*wo, 1] flatten when
-    rows == 1 (a relayout, not a true collapse), so chunks are single
-    output rows; the VMEM formula keeps the door open for wider chunks if
-    that constraint ever lifts."""
-    rows_per = bi
-    while ((rows_per * wo) * words_per_p * 4 > 4 * 1024 * 1024
-           or rows_per > 1) and rows_per % 2 == 0:
-        rows_per //= 2
-    return rows_per
+    """Chunk height for the backward contractions: always 1. Mosaic's
+    layout inference only supports the [rows, wo] -> [rows*wo, 1] flatten
+    when rows == 1 (a relayout, not a true collapse). A halving loop used
+    here previously could return an odd rows > 1 (e.g. bi=20 -> 5), which
+    interpret-mode tests accept but real Mosaic compilation rejects."""
+    del bi, wo, h_in, w_in, words_per_p
+    return 1
 
 
 def _band_range(iy_block, h_in, band):

@@ -64,30 +64,41 @@ def normunet_flops(h, w, chans, num_pools, in_chans=1, use_ref=False):
     return unet_flops(hp, wp, cin, 2 * in_chans, chans, num_pools)
 
 
-def fft2_flops(h, w, channels=1):
-    """Orthonormal complex 2-D FFT of one [h, w] plane per channel:
-    h rows of length-w transforms + w cols of length-h transforms."""
-    per_plane = 5.0 * h * w * (math.log2(w) + math.log2(h))
+def fft2_flops(h, w, channels=1, impl="xla"):
+    """Orthonormal complex 2-D FFT of one [h, w] plane per channel.
+
+    impl='xla': the native FFT at the standard 5*N*log2(N) real-FLOP
+    estimate (h rows of length-w transforms + w cols of length-h).
+    impl='matmul': the matmul-DFT (ops/fft.py _dft2) does four real
+    [n, n] matmuls per axis — 8*h^2*w + 8*w^2*h real FLOPs per plane,
+    ~60x the native count at 320 (it wins on wall-clock, not FLOPs;
+    the benchmark's MFU must account for the work actually dispatched).
+    """
+    if impl == "matmul":
+        per_plane = 8.0 * h * w * (h + w)
+    else:
+        per_plane = 5.0 * h * w * (math.log2(w) + math.log2(h))
     return per_plane * channels
 
 
 def varnet_flops(shape, coils=1, num_cascades=8, sens_chans=8, sens_pools=4,
-                 chans=18, pools=4, use_ref=True):
+                 chans=18, pools=4, use_ref=True, fft_impl="xla"):
     """True per-slice forward FLOPs of the flagship VarNet
-    (models/varnet.py; reference varnet.py:422-530)."""
+    (models/varnet.py; reference varnet.py:422-530). fft_impl must match
+    the path actually dispatched (ops.fft.active_fft_impl())."""
     h = w = shape
     total = 0.0
     # SensitivityModel: masked ifft2 per coil + per-coil NormUnet + rss
-    total += fft2_flops(h, w, coils)
+    total += fft2_flops(h, w, coils, fft_impl)
     total += coils * normunet_flops(h, w, sens_chans, sens_pools)
     # cascades: ifft2 + sens_reduce (complex mul: 8 flops/px/coil) +
     # NormUnet + sens_expand + fft2 per cascade
     per_cascade = (
-        fft2_flops(h, w, coils) * 2
+        fft2_flops(h, w, coils, fft_impl) * 2
         + 2 * (8.0 * h * w * coils)
         + normunet_flops(h, w, chans, pools, use_ref=use_ref)
     )
     total += num_cascades * per_cascade
     # final ifft2 + rss
-    total += fft2_flops(h, w, coils)
+    total += fft2_flops(h, w, coils, fft_impl)
     return total

@@ -69,8 +69,46 @@ def tree_to_device(tree, sharding=None):
     return jax.tree_util.tree_map(lambda x: to_device(x, sharding), tree)
 
 
+def _multihost_from_local_device(sharding, x):
+    """Process-local jax.Array -> global array with NO host round trip:
+    slice the local rows onto this process's addressable shards
+    (device-to-device) and glue with make_array_from_single_device_arrays.
+    Assumes the leading-axis sharding gives this process one contiguous
+    global row block equal to its local batch — true for the P(axis0)
+    meshes parallel/mesh.py builds."""
+    gshape = (x.shape[0] * jax.process_count(),) + tuple(x.shape[1:])
+    spans = []
+    for d, idx in sharding.addressable_devices_indices_map(gshape).items():
+        sl = idx[0]
+        spans.append((sl.start or 0,
+                      gshape[0] if sl.stop is None else sl.stop, d))
+    spans.sort(key=lambda t: t[0])
+    base = spans[0][0]
+    total = sum(s1 - s0 for s0, s1, _ in spans)
+    if total != x.shape[0] or spans[-1][1] - base != x.shape[0]:
+        raise ValueError(
+            f"local batch {x.shape[0]} does not tile this process's "
+            f"addressable shards {spans} of global shape {gshape}"
+        )
+    shards = [
+        jax.device_put(x[s0 - base:s1 - base], d) for s0, s1, d in spans
+    ]
+    return jax.make_array_from_single_device_arrays(gshape, sharding, shards)
+
+
 def multihost_to_device(sharding, x):
-    """make_array_from_process_local_data, complex-safe (planar pair)."""
+    """Assemble a global array from this process's local batch rows;
+    complex-safe (planar pair). Device inputs stay on device — the train
+    loop feeds jit-preprocessed device batches, and a np.asarray here
+    would block on a device->host readback of the full batch every step."""
+    if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+        if jnp.iscomplexobj(x):
+            re, im = _split(x)
+            return _combine(
+                _multihost_from_local_device(sharding, re),
+                _multihost_from_local_device(sharding, im),
+            )
+        return _multihost_from_local_device(sharding, x)
     x = np.asarray(x)
     if not np.iscomplexobj(x):
         return jax.make_array_from_process_local_data(sharding, x)

@@ -77,8 +77,21 @@ def main():
     net.update()
     loss = float(net.get_vis("scalars")["scalars"]["loss_all"])
 
+    # same step with DEVICE-array local shards: exercises the
+    # no-host-round-trip assembly (_multihost_from_local_device), the path
+    # the train loop's jit-preprocessed batches take
+    from spatialalignmentnetwork_tpu.utils.transfer import to_device
+
+    net_dev = CSModel(cfg=tiny_cfg("Rec"), seed=0)
+    net_dev.distribute(mesh)
+    net_dev.set_input(to_device(np.asarray(full)[lo:hi]),
+                      to_device(np.asarray(aux)[lo:hi]))
+    net_dev.update()
+    loss_dev = float(net_dev.get_vis("scalars")["scalars"]["loss_all"])
+
     with open(os.path.join(outdir, f"p{pid}.json"), "w") as f:
-        json.dump({"rows": rows, "means": means, "loss": loss}, f)
+        json.dump({"rows": rows, "means": means, "loss": loss,
+                   "loss_dev": loss_dev}, f)
     print(f"worker {pid}: OK rows={rows} loss={loss}", flush=True)
 
 

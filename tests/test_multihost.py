@@ -138,3 +138,7 @@ def test_two_process_sharded_training(tmp_path):
     net.update()
     want = float(net.get_vis("scalars")["scalars"]["loss_all"])
     np.testing.assert_allclose(res[0]["loss"], want, rtol=1e-4)
+    # device-array local shards (no-host-round-trip assembly) agree too
+    np.testing.assert_allclose(res[0]["loss_dev"], want, rtol=1e-4)
+    np.testing.assert_allclose(res[0]["loss_dev"], res[1]["loss_dev"],
+                               rtol=1e-6)
