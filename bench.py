@@ -23,6 +23,7 @@ Usage: python bench.py [--batch N] [--iters N] [--dtype bf16|f32]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -134,6 +135,57 @@ def _readback_time(fn, *args):
     t0 = time.perf_counter()
     float(fn(*args))
     return time.perf_counter() - t0
+
+
+def _emit_unreachable(metric, why):
+    print(json.dumps({
+        "metric": metric,
+        "value": 0.0,
+        "unit": "slices/s",
+        "vs_baseline": 0.0,
+        "suspect": True,
+        "suspect_reason": why,
+    }))
+
+
+def guard_backend_alive(metric, probe_timeout_s=180, total_timeout_s=2700):
+    """A dead relay backend hangs forever on the first dispatch (observed:
+    tunnel outages where even jnp.sum(ones(8,8)) never returns). The
+    benchmark must still produce ONE honest JSON line for the driver:
+    (a) gate on a tiny-op probe with a timeout; (b) arm a whole-run
+    watchdog that emits a suspect record and exits if the backend dies
+    mid-measurement. Both paths exit 0 with suspect:true — an unreachable
+    backend is a fact to record, not a crash."""
+    import threading
+
+    done = []
+
+    def _probe():
+        import jax.numpy as jnp
+
+        done.append(float(jnp.sum(jnp.ones((8, 8)))))
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(probe_timeout_s)
+    if not done:
+        _emit_unreachable(
+            metric,
+            f"backend probe (8x8 sum) did not complete in "
+            f"{probe_timeout_s}s: backend unreachable, nothing executed",
+        )
+        os._exit(0)
+
+    def _watchdog():
+        time.sleep(total_timeout_s)
+        _emit_unreachable(
+            metric,
+            f"benchmark exceeded {total_timeout_s}s wall clock: backend "
+            "hung mid-run, partial timings discarded",
+        )
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def _is_resource_error(e) -> bool:
@@ -306,6 +358,11 @@ def main():
 
     enable_compilation_cache()
     set_fft_impl(args.fft)
+    guard_backend_alive(
+        "recon_slices_per_sec_per_chip_320x320_4x"
+        if args.mode == "recon"
+        else f"mixed_train_steps_per_sec_b{args.batch}_320x320"
+    )
     if args.mode == "train":
         bench_train(args)
         return
