@@ -48,6 +48,16 @@ from .checkpoint import ckpt_save, ckpt_load, flatten_tree
 
 NET_NAMES = ("net_mask", "net_G", "net_D", "net_T", "net_R")
 
+# which nets receive gradients per training regime (reference
+# model.py:193-259: the optimizers stepped in each branch). net_D updates
+# in its own second pass; net_mask joins only under live LOUPE learning.
+GRAD_NETS = {
+    "None": ("net_R",),
+    "Rec": ("net_T", "net_R"),
+    "Mixed": ("net_T", "net_G", "net_R"),
+    "GAN-Only": ("net_T", "net_G"),
+}
+
 
 class CSModel:
     """Facade owning the 5 networks + optimizers + jitted step functions."""
@@ -256,7 +266,6 @@ class CSModel:
     def _forward_TGR(self, params, stats, env, train, with_G, with_R,
                      stop_T=False):
         """Compose forwardT [+G] [+R]; returns (losses, imgs, stats')."""
-        cfg = self.cfg
         aux_abs = jnp.abs(env["img_aux"])
         sampled_abs = jnp.abs(env["img_sampled"])
         offset, grid, stats_T = self._apply_T(
@@ -311,11 +320,78 @@ class CSModel:
         mesh = getattr(self, "mesh", None)
         return mesh is not None and batch_shape[0] % mesh.size == 0
 
+    @staticmethod
+    def _with_zero_chan(x):
+        """cat a zero channel: net_D takes 2 channels, the second unused
+        by the live path (reference model.py:171-184 cat with zeros)."""
+        return jnp.concatenate([x, jnp.zeros_like(x)], axis=1)
+
+    def _regime_loss(self, p, stats, env, regime):
+        """G-phase training loss (reference model.py:193-232): weighted
+        sim/smooth/gan_sim plus the generator adversarial term evaluated
+        THROUGH net_D with frozen D params (forwardD, D_loss=False).
+        Single source of truth for both the plain and grad-accum steps.
+        Returns (total, losses, imgs, new_stats)."""
+        cfg = self.cfg
+        with_G = regime in ("Mixed", "GAN-Only")
+        with_R = regime in ("None", "Rec", "Mixed")
+        losses, imgs, new_stats = self._forward_TGR(
+            p, stats, env, train=True, with_G=with_G, with_R=with_R,
+            stop_T=(regime == "None"),
+        )
+        total = 0.0
+        if with_R:
+            total += losses["loss_sim"] * cfg.weight_sim
+        if regime != "None":
+            total += losses["loss_smooth"] * cfg.weight_smooth
+        if with_G:
+            total += losses["loss_gan_sim"] * cfg.weight_gan_sim
+            # D params come from p but are NOT in the differentiated
+            # subtree — grads flow through D, not to it
+            fake = self._with_zero_chan(imgs["img_aligned"])
+            pred_fake, stats_D = self._apply_D(
+                p["net_D"], new_stats["net_D"], fake, True,
+            )
+            losses["loss_gan_G"] = loss_gan(
+                pred_fake, real=False, D_loss=False
+            )
+            total += losses["loss_gan_G"] * cfg.weight_gan
+            new_stats = {**new_stats, "net_D": stats_D}
+        losses["loss_all"] = total
+        return total, losses, imgs, new_stats
+
+    def _d_phase_loss_fn(self, img_aligned, img_full_rss, stats_D):
+        """Second-pass discriminator loss on detached fake/real
+        (reference model.py:234-239); shared by both step builders."""
+        fake = jax.lax.stop_gradient(self._with_zero_chan(img_aligned))
+        real = jax.lax.stop_gradient(self._with_zero_chan(img_full_rss))
+        w_gan = self.cfg.weight_gan
+
+        def loss_fn_D(pD):
+            pred_fake, sD = self._apply_D(pD, stats_D, fake, True)
+            pred_real, sD = self._apply_D(pD, sD, real, True)
+            lf = loss_gan(pred_fake, real=False, D_loss=True)
+            lr = loss_gan(pred_real, real=True, D_loss=True)
+            return (lf + lr) * w_gan, (lf, lr, sD)
+
+        return loss_fn_D
+
     def _make_train_step(self, regime, batch_shape):
         """Jitted train step; data-parallel over self.mesh when distributed
         (and the batch divides the mesh — otherwise fall back to a
         replicated single-program step)."""
         accum = int(self.cfg.get("grad_accum", 1))
+        if regime in ("Mixed", "GAN-Only") and batch_shape[0] // accum < 2:
+            # forwardG halves the batch for the synthesis/warp crossover
+            # (reference model.py:125-136, torch.chunk raises there too);
+            # batch 1 would push an EMPTY half through NetG's BatchNorm,
+            # whose mean-over-0-rows silently NaN-poisons net_G params
+            # while every reported loss stays finite
+            raise ValueError(
+                f"{regime} regime needs >= 2 samples per (micro-)batch "
+                f"for the forwardG crossover; got batch {batch_shape[0]} "
+                f"with grad_accum {accum}"
+            )
         fn = (
             self._make_accum_step_fn(regime, accum)
             if accum > 1
@@ -336,21 +412,10 @@ class CSModel:
 
     def _make_train_step_fn(self, regime):
         cfg = self.cfg
-        w_sim = cfg.weight_sim
-        w_smooth = cfg.weight_smooth
-        w_gan = cfg.weight_gan
-        w_gan_sim = cfg.weight_gan_sim
-
         with_G = regime in ("Mixed", "GAN-Only")
-        with_R = regime in ("None", "Rec", "Mixed")
         learn_mask = cfg.mask == "loupe" and bool(cfg.get("learn_mask", False))
-        grad_nets = {
-            "None": ("net_R",),
-            "Rec": ("net_T", "net_R"),
-            "Mixed": ("net_T", "net_G", "net_R"),
-            "GAN-Only": ("net_T", "net_G"),
-        }[regime]
-        if learn_mask and with_R:
+        grad_nets = GRAD_NETS[regime]
+        if learn_mask and regime in ("None", "Rec", "Mixed"):
             grad_nets = grad_nets + ("net_mask",)
 
         def step(state, img_full, img_aux, key):
@@ -368,33 +433,9 @@ class CSModel:
                                   p["net_mask"], key)
                     if learn_mask else env0
                 )
-                losses, imgs, new_stats = self._forward_TGR(
-                    p, stats, env, train=True,
-                    with_G=with_G, with_R=with_R,
-                    stop_T=(regime == "None"),
+                total, losses, imgs, new_stats = self._regime_loss(
+                    p, stats, env, regime
                 )
-                total = 0.0
-                if with_R:
-                    total += losses["loss_sim"] * w_sim
-                if regime != "None":
-                    total += losses["loss_smooth"] * w_smooth
-                if with_G:
-                    total += losses["loss_gan_sim"] * w_gan_sim
-                    # generator adversarial term (forwardD, D_loss=False);
-                    # D params are constants here — grads flow THROUGH D
-                    fake = jnp.concatenate(
-                        [imgs["img_aligned"],
-                         jnp.zeros_like(imgs["img_aligned"])], axis=1
-                    )
-                    pred_fake, stats_D = self._apply_D(
-                        params["net_D"], new_stats["net_D"], fake, True,
-                    )
-                    losses["loss_gan_G"] = loss_gan(
-                        pred_fake, real=False, D_loss=False
-                    )
-                    total += losses["loss_gan_G"] * w_gan
-                    new_stats = {**new_stats, "net_D": stats_D}
-                losses["loss_all"] = total
                 return total, (losses, imgs, new_stats, env)
 
             train_params = {k: params[k] for k in grad_nets}
@@ -413,28 +454,10 @@ class CSModel:
             if with_G:
                 # second pass: discriminator update on detached fake/real
                 # (model.py:234-239)
-                fake = jax.lax.stop_gradient(
-                    jnp.concatenate(
-                        [imgs["img_aligned"],
-                         jnp.zeros_like(imgs["img_aligned"])], axis=1
-                    )
+                loss_fn_D = self._d_phase_loss_fn(
+                    imgs["img_aligned"], env["img_full_rss"],
+                    new_stats["net_D"],
                 )
-                real = jax.lax.stop_gradient(
-                    jnp.concatenate(
-                        [env["img_full_rss"],
-                         jnp.zeros_like(env["img_full_rss"])], axis=1
-                    )
-                )
-
-                def loss_fn_D(pD):
-                    pred_fake, sD = self._apply_D(
-                        pD, new_stats["net_D"], fake, True
-                    )
-                    pred_real, sD = self._apply_D(pD, sD, real, True)
-                    lf = loss_gan(pred_fake, real=False, D_loss=True)
-                    lr = loss_gan(pred_real, real=True, D_loss=True)
-                    return (lf + lr) * w_gan, (lf, lr, sD)
-
                 gD, (lf, lr, sD) = jax.grad(loss_fn_D, has_aux=True)(
                     params["net_D"]
                 )
@@ -491,22 +514,12 @@ class CSModel:
         micro-batch (torch grad-accum convention).
         """
         cfg = self.cfg
-        w_sim = cfg.weight_sim
-        w_smooth = cfg.weight_smooth
-        w_gan = cfg.weight_gan
-        w_gan_sim = cfg.weight_gan_sim
         with_G = regime in ("Mixed", "GAN-Only")
-        with_R = regime in ("None", "Rec", "Mixed")
         assert not cfg.get("learn_mask", False), (
             "grad_accum does not route gradients to the LOUPE mask; "
             "disable learn_mask or grad_accum"
         )
-        grad_nets = {
-            "None": ("net_R",),
-            "Rec": ("net_T", "net_R"),
-            "Mixed": ("net_T", "net_G", "net_R"),
-            "GAN-Only": ("net_T", "net_G"),
-        }[regime]
+        grad_nets = GRAD_NETS[regime]
 
         def _split(x, n):
             m = n // accum
@@ -533,30 +546,9 @@ class CSModel:
             def loss_fn(train_params, stats, f, a):
                 p = {**params, **train_params}
                 env = self._prepare(f, a, state["pruned"])
-                losses, imgs, new_stats = self._forward_TGR(
-                    p, stats, env, train=True, with_G=with_G, with_R=with_R,
-                    stop_T=(regime == "None"),
+                total, losses, imgs, new_stats = self._regime_loss(
+                    p, stats, env, regime
                 )
-                total = 0.0
-                if with_R:
-                    total += losses["loss_sim"] * w_sim
-                if regime != "None":
-                    total += losses["loss_smooth"] * w_smooth
-                if with_G:
-                    total += losses["loss_gan_sim"] * w_gan_sim
-                    fake = jnp.concatenate(
-                        [imgs["img_aligned"],
-                         jnp.zeros_like(imgs["img_aligned"])], axis=1
-                    )
-                    pred_fake, stats_D = self._apply_D(
-                        params["net_D"], new_stats["net_D"], fake, True,
-                    )
-                    losses["loss_gan_G"] = loss_gan(
-                        pred_fake, real=False, D_loss=False
-                    )
-                    total += losses["loss_gan_G"] * w_gan
-                    new_stats = {**new_stats, "net_D": stats_D}
-                losses["loss_all"] = total
                 return total, (losses, imgs, new_stats, env)
 
             train_params = {k: params[k] for k in grad_nets}
@@ -592,22 +584,10 @@ class CSModel:
                 g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
                 if with_G:
                     # D-phase on detached micro-batch fakes (model.py:234-239)
-                    fake = jax.lax.stop_gradient(jnp.concatenate(
-                        [imgs["img_aligned"],
-                         jnp.zeros_like(imgs["img_aligned"])], axis=1))
-                    real = jax.lax.stop_gradient(jnp.concatenate(
-                        [env["img_full_rss"],
-                         jnp.zeros_like(env["img_full_rss"])], axis=1))
-
-                    def loss_fn_D(pD):
-                        pred_fake, sD = self._apply_D(
-                            pD, new_stats["net_D"], fake, True
-                        )
-                        pred_real, sD = self._apply_D(pD, sD, real, True)
-                        lf = loss_gan(pred_fake, real=False, D_loss=True)
-                        lr = loss_gan(pred_real, real=True, D_loss=True)
-                        return (lf + lr) * w_gan, (lf, lr, sD)
-
+                    loss_fn_D = self._d_phase_loss_fn(
+                        imgs["img_aligned"], env["img_full_rss"],
+                        new_stats["net_D"],
+                    )
                     gD, (lf, lr, sD) = jax.grad(loss_fn_D, has_aux=True)(
                         params["net_D"]
                     )
@@ -734,8 +714,6 @@ class CSModel:
                 if isinstance(img_full, jax.Array):
                     img_aux = jnp.zeros_like(img_full)
                 else:
-                    import numpy as np
-
                     img_aux = np.zeros_like(np.asarray(img_full))
             img_full, img_aux = shard_batch_multihost(
                 mesh, (img_full, img_aux)
@@ -889,9 +867,13 @@ class CSModel:
                 np.asarray(w) if w is not None
                 else np.ones(self.cfg.shape, np.float32)
             )
+            # persistent generator: successive prune() rounds must draw
+            # fresh jitter like the reference's torch.rand_like, not replay
+            # one fixed noise vector
+            if not hasattr(self, "_prune_rng"):
+                self._prune_rng = np.random.default_rng(self.seed)
             new = masks_lib.magnitude_prune(
-                weight, pruned, num, thres, random,
-                rng=np.random.default_rng(self.seed),
+                weight, pruned, num, thres, random, rng=self._prune_rng,
             )
         elif kind == "taylor":
             values = getattr(self, "_taylor_values", [])
@@ -904,6 +886,12 @@ class CSModel:
             new = pruned.copy()
             order = np.argsort(w)
             new[order[:num]] = True
+            # surface the averaged saliency like the reference (TaylorMask
+            # .prune stores it in net_mask.weight, masks.py:228) so the
+            # get_vis('histograms') weights diagnostic appears
+            self.state["params"]["net_mask"] = dict(
+                self.state["params"]["net_mask"], weight=jnp.asarray(w)
+            )
         elif kind == "loupe":
             return  # LOUPE prunes via its probability mask, not here
         else:

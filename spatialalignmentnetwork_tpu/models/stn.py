@@ -43,7 +43,12 @@ class SpatialTransformer(nn.Module):
             bias_init=nn.initializers.zeros,
             dtype=self.dtype,
         )(x)  # [N, H, W, 2] — NHWC conv output is already "permuted"
-        grid = identity_grid(moving.shape, dtype=offset.dtype) + offset
+        # grid coordinates stay f32 even under a bf16 policy: a bf16 grid
+        # quantizes sample positions to ~8 mantissa bits (~0.6 px at 320),
+        # degrading registration. The reference promotes too (cross.py:25
+        # affine_grid is f32; grid.float() in warp).
+        offset = offset.astype(jnp.float32)
+        grid = identity_grid(moving.shape, dtype=jnp.float32) + offset
         return offset, grid
 
 

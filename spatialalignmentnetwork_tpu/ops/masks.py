@@ -120,12 +120,23 @@ def lowpass_mask(sparsity: float, shape: int, rng=None) -> np.ndarray:
 
 
 def rescale_prob(x, sparsity):
-    """Rescale probabilities so their mean equals `sparsity` (LOUPE)."""
+    """Rescale probabilities so their mean equals `sparsity` (LOUPE).
+
+    Double-where guard: jnp.where evaluates BOTH branches, and when the
+    sigmoid probabilities saturate (xbar == 1.0 in f32, i.e. every logit
+    above ~3.4 at slope 5) the unselected branch divides by (1 - xbar) = 0
+    — its infinite partial then NaN-poisons the summed VJP even though the
+    forward value is correct. The reference's host-side if/else
+    (masks.py:127-139) never evaluates the dividing branch.
+    """
     xbar = jnp.mean(x)
+    up = xbar > sparsity
+    safe_up = jnp.where(up, xbar, 1.0)
+    safe_dn = jnp.where(up, 1.0, 1.0 - xbar)
     return jnp.where(
-        xbar > sparsity,
-        x * sparsity / xbar,
-        1 - (1 - x) * (1 - sparsity) / (1 - xbar),
+        up,
+        x * sparsity / safe_up,
+        1 - (1 - x) * (1 - sparsity) / safe_dn,
     )
 
 
@@ -159,6 +170,13 @@ def loupe_sample(
     pmask = loupe_pmask(weight, sparsity, pmask_slope)
     thresh = jax.random.uniform(key, (batch, shape), dtype=pmask.dtype)
     k = int(sparsity * shape + 0.5)
+    if k < 1:
+        # sort[..., k-1] with k=0 would take the MINIMUM score and keep
+        # every line — the exact inverse of the reference's topk(0)
+        raise ValueError(
+            f"loupe mask with sparsity {sparsity} at width {shape} keeps "
+            "0 lines; increase sparsity or width"
+        )
     score = pmask[None, :] - thresh
     kth = -jnp.sort(-score, axis=-1)[:, k - 1 : k]
     not_pruned = score >= kth

@@ -92,3 +92,45 @@ def test_fixed_mask_prune_is_noop_at_default_thres():
     before = np.asarray(net.state["pruned"]).copy()
     net.prune(2)  # thres=1, |w|=1 >= thres everywhere -> nothing pruned
     np.testing.assert_array_equal(np.asarray(net.state["pruned"]), before)
+
+
+def test_rescale_prob_saturated_mean_has_finite_grad():
+    """jnp.where evaluates both branches: when sigmoid(w*slope) saturates
+    to 1.0 in f32 the unguarded formulation divided by (1-xbar)=0 and
+    NaN-poisoned the mask gradient (double-where guard regression)."""
+    import jax
+    import jax.numpy as jnp
+    from spatialalignmentnetwork_tpu.ops import masks as M
+
+    def loss(w):
+        mask, _ = M.loupe_sample(
+            w, sparsity=0.25, pmask_slope=5.0, sample_slope=10.0,
+            key=jax.random.PRNGKey(0), batch=2, training=True,
+        )
+        return jnp.sum(mask)
+
+    g = jax.grad(loss)(jnp.full((16,), 4.0))  # sigmoid(20) == 1.0 in f32
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+
+def test_loupe_zero_kept_lines_raises():
+    import jax
+    from spatialalignmentnetwork_tpu.ops import masks as M
+
+    with pytest.raises(ValueError, match="keeps 0 lines"):
+        M.loupe_sample(
+            jnp.zeros((16,)), sparsity=0.01, pmask_slope=5.0,
+            sample_slope=10.0, key=jax.random.PRNGKey(0), batch=1,
+            training=False,
+        )
+
+
+def test_gan_regime_batch_one_raises():
+    """Batch 1 in Mixed/GAN-Only would push an EMPTY half-batch through
+    NetG's BatchNorm (mean over 0 rows = NaN) while losses stay finite;
+    the step builder must refuse loudly like the reference's torch.chunk."""
+    net = CSModel(cfg=tiny_cfg("Mixed"))
+    full, aux = _batch(n=1, seed=5)
+    net.set_input(full, aux)
+    with pytest.raises(ValueError, match="forwardG crossover"):
+        net.update()
