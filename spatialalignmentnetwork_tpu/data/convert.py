@@ -38,9 +38,17 @@ def nii_to_array(nii_path):
 
 def write_h5(array, h5_path, protocal):
     """Write one volume in the dataset-consumable layout."""
+    peak = float(array.max())
+    if not peak > 0:
+        # every consumer divides by `max`; a blank volume would convert
+        # cleanly here and then silently feed NaN slices into training
+        raise ValueError(
+            f"volume for {h5_path} has max {peak}; refusing to write an "
+            "h5 whose normalization divides by zero"
+        )
     with h5py.File(h5_path, "w") as h5:
         h5.create_dataset("image", data=array)
-        h5.attrs["max"] = float(array.max())
+        h5.attrs["max"] = peak
         h5.attrs["acquisition"] = protocal
 
 

@@ -108,18 +108,24 @@ class Loader:
 
         def producer():
             # keep a bounded window of in-flight fetches so memory stays
-            # O(workers + prefetch) batches
+            # O(workers + prefetch) batches. A worker exception is shipped
+            # to the consumer and re-raised there — dying without a
+            # sentinel would leave the training loop blocked on q.get()
+            # forever instead of surfacing the data error.
             from collections import deque
 
-            window = deque()
-            with ThreadPoolExecutor(self.num_workers) as ex:
-                for idx in self._batches():
-                    window.append(ex.submit(self._fetch, idx))
-                    while len(window) >= self.num_workers:
+            try:
+                window = deque()
+                with ThreadPoolExecutor(self.num_workers) as ex:
+                    for idx in self._batches():
+                        window.append(ex.submit(self._fetch, idx))
+                        while len(window) >= self.num_workers:
+                            q.put(window.popleft().result())
+                    while window:
                         q.put(window.popleft().result())
-                while window:
-                    q.put(window.popleft().result())
-            q.put(stop)
+                q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — relayed, not hidden
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -127,4 +133,6 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -68,7 +68,13 @@ def write_cache(volume_paths, out_path):
         for path in volume_paths:
             with h5py.File(path, "r") as h5:
                 img = np.asarray(h5["image"], dtype=np.float32)
-                img = img / np.float32(h5.attrs["max"])
+                peak = np.float32(h5.attrs["max"])
+                if not peak > 0:
+                    raise ValueError(
+                        f"{path}: max attr is {peak}; slices would "
+                        "normalize to NaN"
+                    )
+                img = img / peak
             if img.ndim == 3:
                 img = img[:, None]
             s, c, h, w = img.shape

@@ -39,6 +39,11 @@ class VolumeDataset:
                 raise ValueError(f"bad image rank in {volume}")
             self.protocal = h5.attrs["acquisition"]
             self.max_val = h5.attrs["max"]
+            if not self.max_val > 0:
+                raise ValueError(
+                    f"{volume}: max attr is {self.max_val}; slices would "
+                    "normalize to NaN"
+                )
         self.start = round(length * q)  # inclusive
         self.stop = length - self.start  # exclusive
 

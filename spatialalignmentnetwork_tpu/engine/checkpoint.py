@@ -47,22 +47,33 @@ def ckpt_save(ckpt: dict, folder: str):
     An existing checkpoint DIRECTORY is overwritten (resume re-passes
     earlier periodic-checkpoint names; the reference's torch.save also
     overwrites silently). A same-named non-directory is refused.
+
+    Crash-safe: the new checkpoint is fully written to a sibling temp
+    directory first, then swapped in. Deleting the old one BEFORE writing
+    (the previous behavior) destroys the only best.pt on a mid-save
+    disk-full/SIGKILL and leaves a partial dir that mtime-based resume
+    would pick up.
     """
     assert isinstance(ckpt, dict)
+    import shutil
+
     if os.path.exists(folder):
         assert os.path.isdir(folder), folder + " exists and is not a directory"
-        import shutil
-
-        shutil.rmtree(folder)
-    os.makedirs(folder)
+    tmp = folder.rstrip("/\\") + ".tmp-save"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     for key, val in ckpt.items():
-        path = os.path.join(folder, key)
+        path = os.path.join(tmp, key)
         if key == "config":
             val.save(path)
         else:
             flat = val if _is_flat(val) else flatten_tree(val)
             with open(path, "wb") as f:
                 np.savez(f, **{k: np.asarray(v) for k, v in flat.items()})
+    if os.path.exists(folder):
+        shutil.rmtree(folder)
+    os.replace(tmp, folder)
 
 
 def _is_flat(d):

@@ -318,7 +318,23 @@ class CSModel:
     # ------------------------------------------------------------- train steps
     def _dp_active(self, batch_shape):
         mesh = getattr(self, "mesh", None)
-        return mesh is not None and batch_shape[0] % mesh.size == 0
+        if mesh is None:
+            return False
+        if batch_shape[0] % mesh.size != 0:
+            # fall back to a replicated single-program step, but say so —
+            # silently running 1/N of the advertised throughput (or OOMing
+            # on one device) reads as a kernel bug otherwise
+            if batch_shape not in getattr(self, "_dp_warned", set()):
+                self._dp_warned = getattr(self, "_dp_warned", set())
+                self._dp_warned.add(batch_shape)
+                print(
+                    f"WARNING: batch {batch_shape[0]} does not divide the "
+                    f"{mesh.size}-device mesh; this batch runs UNSHARDED "
+                    "on one device (pick a divisible batch size)",
+                    flush=True,
+                )
+            return False
+        return True
 
     @staticmethod
     def _with_zero_chan(x):

@@ -51,7 +51,9 @@ def main(args):
         # strict-parity runs pin the matmul-DFT to f32-exact accumulation
         set_fft_impl(
             getattr(args, "fft", None),
-            "highest" if args.matmul_precision == "highest" else None,
+            "highest"
+            if getattr(args, "matmul_precision", None) == "highest"
+            else None,
         )
     from ..utils.cache import enable_compilation_cache
 
@@ -128,6 +130,8 @@ def main(args):
     if args.metric is not None:
         with open(args.metric, "w") as f:
             json.dump(stat_eval, f)
+    if not stat_eval:
+        raise ValueError(f"no volumes found in {args.val}")
     vis = {
         key: statistics.mean([x[key] for x in stat_eval])
         for key in stat_eval[0]
@@ -138,7 +142,7 @@ def main(args):
 
 def build_parser():
     parser = argparse.ArgumentParser(description="CS evaluation (TPU)")
-    parser.add_argument("--resume", type=str, default=None,
+    parser.add_argument("--resume", type=str, required=True,
                         help="checkpoint path")
     parser.add_argument("--save", default=None, metavar="/path/to/save",
                         type=str, help="path to save evaluated data")

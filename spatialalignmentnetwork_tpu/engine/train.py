@@ -98,7 +98,9 @@ def main(args):
         # TPU-default DFT path would silently keep its bf16x3 rounding
         set_fft_impl(
             getattr(args, "fft", None),
-            "highest" if args.matmul_precision == "highest" else None,
+            "highest"
+            if getattr(args, "matmul_precision", None) == "highest"
+            else None,
         )
     if getattr(args, "dist_coordinator", None):
         # multi-host SPMD: one process per host, all running this CLI with
@@ -209,13 +211,19 @@ def main(args):
     )
 
     len_vis, col_vis = 16, 4
-    vis_rng = np.random.default_rng(19950102 + 666 + 233)
-    vis_idx = vis_rng.permutation(len(slices_val))[:len_vis]
-    vis_items = [slices_val[int(i)] for i in vis_idx]
-    batch_vis = [
-        to_device(np.stack([it[m] for it in vis_items], 0))
-        for m in range(len(vis_items[0]))
-    ]
+    if n_proc == 1:
+        vis_rng = np.random.default_rng(19950102 + 666 + 233)
+        vis_idx = vis_rng.permutation(len(slices_val))[:len_vis]
+        vis_items = [slices_val[int(i)] for i in vis_idx]
+        batch_vis = [
+            to_device(np.stack([it[m] for it in vis_items], 0))
+            for m in range(len(vis_items[0]))
+        ]
+    else:
+        # image dumping is single-process-only (gated below); loading and
+        # holding a 16-slice complex device batch on every host would be
+        # pure dead weight
+        batch_vis = None
 
     preprocess = _preprocess(args.aux_aug, cfg.shape)
     rng = jax.random.PRNGKey(seed if seed is not None else int(time.time()))
@@ -329,9 +337,10 @@ def main(args):
                 loss_best = loss_current
                 iter_best = iter_cnt
                 if is_main:
+                    # ckpt_save replaces atomically (temp dir + swap);
+                    # pre-deleting here would destroy the only best.pt if
+                    # the save fails mid-write
                     best = args.logdir + "/ckpt/best.pt"
-                    if os.path.exists(best):
-                        shutil.rmtree(best)
                     net.save(best, with_opt=getattr(args, "save_opt", False))
             elif iter_cnt >= args.intel_stop + iter_best:
                 signal_end = True

@@ -104,8 +104,16 @@ def grid_sample(
     n, c, h, w = input.shape
     dtype = input.dtype
 
-    x = grid[..., 0].astype(dtype)
-    y = grid[..., 1].astype(dtype)
+    # coordinate math stays f32 regardless of the image dtype: a bf16
+    # pixel coordinate near 320 has ulp = 1.0 — a full-pixel sampling
+    # error (the same invariant affine_grid documents and the Pallas
+    # kernel enforces). Only the final weighted gather uses the image
+    # dtype.
+    coord_dtype = (
+        jnp.float32 if jnp.finfo(dtype).bits < 32 else dtype
+    )
+    x = grid[..., 0].astype(coord_dtype)
+    y = grid[..., 1].astype(coord_dtype)
     # unnormalize (align_corners=False): pixel = ((coord + 1) * size - 1) / 2
     ix = ((x + 1.0) * w - 1.0) / 2.0
     iy = ((y + 1.0) * h - 1.0) / 2.0
@@ -131,7 +139,8 @@ def grid_sample(
         weight = (wx if dx else (1.0 - wx)) * (wy if dy else (1.0 - wy))
         if padding_mode == "zeros":
             valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-            weight = weight * valid.astype(dtype)
+            weight = weight * valid.astype(coord_dtype)
+        weight = weight.astype(dtype)  # output keeps the image dtype
         xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
         flat_idx = yi * w + xi  # [N, Hg, Wg]

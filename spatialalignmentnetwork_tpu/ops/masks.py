@@ -114,6 +114,14 @@ def equispaced_mask(sparsity: float, shape: int, rng: np.random.Generator) -> np
 def lowpass_mask(sparsity: float, shape: int, rng=None) -> np.ndarray:
     """Keep only the floor(shape*sparsity) lowest-frequency (border) lines."""
     center_len = math.floor(shape * sparsity)
+    if center_len < 1:
+        # _center_slice(0) is the empty slice: nothing would be pruned and
+        # the "undersampling" mask would keep EVERY line — the inverse of
+        # the intent at the degenerate sparsity
+        raise ValueError(
+            f"lowpass mask with sparsity {sparsity} at width {shape} "
+            "keeps 0 lines; increase sparsity or width"
+        )
     pruned = np.zeros(shape, dtype=bool)
     pruned[_center_slice(center_len)] = True
     return pruned

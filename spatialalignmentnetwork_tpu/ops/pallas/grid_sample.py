@@ -66,10 +66,7 @@ def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode,
     # process the block a few output rows at a time so each sub-pass's
     # live set fits. Chunking follows the BI axis (slices stay inside the
     # leading register tile, which Mosaic requires).
-    rows_per = bi
-    while (rows_per * wo) * (h_in + 2 * w_in) * 4 * 3 > 4 * 1024 * 1024 \
-            and rows_per % 2 == 0:
-        rows_per //= 2
+    rows_per = _fwd_rows_per(bi, wo, h_in, w_in)
     n_chunks = bi // rows_per
     pc = rows_per * wo
 
@@ -134,20 +131,40 @@ def _kernel(img_ref, grid_ref, out_ref, *, h_in, w_in, bi, padding_mode,
         run(img_ref[0, 0], 0)
 
 
+def _fwd_rows_per(bi, wo, h_in, w_in):
+    """Rows processed per sub-pass inside the forward kernel: halve until
+    the tent-formulation live set (wy_mat + wx_mat + rows, f32, x3
+    HIGHEST-precision scratch) fits ~4 MB. Shared with _pick_block_rows so
+    the feasibility estimate can never drift from the kernel's actual
+    chunking."""
+    rows_per = bi
+    while (rows_per * wo) * (h_in + 2 * w_in) * 4 * 3 > 4 * 1024 * 1024 \
+            and rows_per % 2 == 0:
+        rows_per //= 2
+    return rows_per
+
+
 def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=10 * 1024 * 1024):
     """Output row-block height. Mosaic's tiling requires the output block's
     sublane dim to be a multiple of 8 (or the whole axis), so only 16/8 (or
-    ho itself) are candidates; prefer the larger when the one-hot matrices
-    + fallback-path temporaries fit the scoped-VMEM budget."""
+    ho itself) are candidates; prefer the larger whose one-hot matrices fit
+    the scoped-VMEM budget.
+
+    The estimate is the SUM over the kernel's row chunks (= the un-chunked
+    block size), NOT one chunk's live set: the chunk loop is a Python
+    unroll and Mosaic does not reuse stack allocations across unrolled
+    iterations. Measured on v5e (16 MB scoped-VMEM limit) at 352x352:
+    bi=16 allocates 19.3 MB and bi=8 16.29 MB — both over the limit, so
+    the 352 training-augmentation warp (1.1x crop of 320) correctly takes
+    the XLA fallback; 320x320 at bi=8 (9.8 MB) compiles. The 10 MB budget
+    models the limit minus band/input/reflection residents (~4.4 MB)."""
     for bi in (16, 8):
         if ho % bi:
             continue
         p = bi * wo
-        # wy_mat + wx_mat + rows, f32 (tent-formulation live set)
         need = 4 * (p * h_in + 2 * p * w_in)
         if need < vmem_budget:
             return bi
-    # whole-axis fallback only when its matrices actually fit VMEM
     p = ho * wo
     if 4 * (p * h_in + 2 * p * w_in) < vmem_budget:
         return ho
