@@ -230,3 +230,38 @@ def test_convert_batch_writes_h5_and_manifest(tmp_path, monkeypatch):
     ds = get_paired_volume_datasets(str(out / "pairs.csv"),
                                     protocals=["T2", "T1"], crop=8)
     assert len(ds) == 2 and len(ds[0]) == 3
+
+
+def test_loader_worker_exception_surfaces_not_hangs():
+    """A corrupt item must raise in the consuming iterator; the producer
+    thread previously died before its stop sentinel and training blocked
+    on q.get() forever."""
+    from spatialalignmentnetwork_tpu.data.loader import Loader
+
+    class Corrupt:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise OSError("simulated unreadable volume")
+            return [np.full((1, 4, 4), i, np.float32)]
+
+    loader = Loader(Corrupt(), batch_size=2, shuffle=False, drop_last=True,
+                    num_workers=2)
+    with pytest.raises(OSError, match="simulated unreadable volume"):
+        for _ in loader:
+            pass
+
+
+def test_zero_max_volume_rejected(tmp_path):
+    import h5py
+    from spatialalignmentnetwork_tpu.data.paired_dataset import VolumeDataset
+
+    path = str(tmp_path / "blank_T1.h5")
+    with h5py.File(path, "w") as h5:
+        h5.create_dataset("image", data=np.zeros((4, 8, 8), np.float32))
+        h5.attrs["max"] = 0.0
+        h5.attrs["acquisition"] = "T1"
+    with pytest.raises(ValueError, match="max attr is 0"):
+        VolumeDataset(path)

@@ -410,3 +410,34 @@ def test_test_step_metrics(tmp_path):
     assert ret == -scalars["metric_PSNR"]
     imgs = net.get_vis("images")["images"]
     assert "img_rec" in imgs and imgs["img_rec"].shape == (4, 1, 16, 16)
+
+
+def test_ckpt_save_is_atomic(tmp_path, monkeypatch):
+    """A failure mid-save must leave the previous checkpoint intact (the
+    old rmtree-first behavior destroyed the only best.pt and left a
+    partial dir that mtime-based resume would load)."""
+    import numpy as np
+    from spatialalignmentnetwork_tpu.engine import checkpoint as CK
+    from spatialalignmentnetwork_tpu.engine.config import Config
+
+    cfg = Config()
+    cfg.marker = "v1"
+    folder = str(tmp_path / "best.pt")
+    CK.ckpt_save({"net_X": {"w": np.ones(3)}, "config": cfg}, folder)
+
+    real_savez = np.savez
+
+    def boom(*a, **kw):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(np, "savez", boom)
+    cfg2 = Config()
+    cfg2.marker = "v2"
+    with pytest.raises(OSError):
+        CK.ckpt_save({"net_X": {"w": np.zeros(3)}, "config": cfg2}, folder)
+    monkeypatch.setattr(np, "savez", real_savez)
+
+    # the original checkpoint survives and still loads
+    loaded = CK.ckpt_load(folder)
+    np.testing.assert_array_equal(loaded["net_X"]["w"], np.ones(3))
+    assert loaded["config"].marker == "v1"
