@@ -141,7 +141,7 @@ def _emit_unreachable(metric, why):
     print(json.dumps({
         "metric": metric,
         "value": 0.0,
-        "unit": "slices/s",
+        "unit": "steps/s" if "steps_per_sec" in metric else "slices/s",
         "vs_baseline": 0.0,
         "suspect": True,
         "suspect_reason": why,
@@ -256,30 +256,56 @@ def bench_train(args):
         return _time.perf_counter() - t0
 
     timed(2)  # warm
-    t_short = timed(args.iters)
-    t_long = timed(2 * args.iters)
+    # min-of-repeats on BOTH chain lengths: a single transient stall in
+    # t_short would otherwise clamp the marginal to ~0 and print an
+    # absurd throughput
+    t_short = min(timed(args.iters) for _ in range(args.repeats))
+    t_long = min(timed(2 * args.iters) for _ in range(args.repeats))
     dt = max(t_long - t_short, 1e-9)
     steps_per_sec = args.iters / dt
 
     probe = _backend_probe_tflops()
     peak = _platform_peak_tflops()
+    # the train step does >= 3x the serving forward's FLOPs (fwd+bwd of
+    # five nets); the serving-forward count is a conservative lower bound
+    # for the impossibility guard
+    from spatialalignmentnetwork_tpu.ops.fft import active_fft_impl
+    from spatialalignmentnetwork_tpu.utils.flops import varnet_flops
+
+    fwd_flops = varnet_flops(320, fft_impl=active_fft_impl(320, 320))
+    implied_tflops = steps_per_sec * B * 3 * fwd_flops / 1e12
     result = {
         "metric": "mixed_train_steps_per_sec_b%d_320x320" % B,
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * B / 10000.0, 4),
         "probe_tflops": round(probe, 2),
+        "implied_tflops_lower_bound": round(implied_tflops, 2),
         "peak_tflops": peak,
     }
     flag_if_impossible(result, probe, peak, "matmul probe")
+    flag_if_impossible(result, implied_tflops, peak, "measured train throughput")
     print(json.dumps(result))
 
 
 def bench_input(args):
     """Host input-pipeline throughput: native C++ slice cache vs the python
     h5 loader, assembling normalized center-cropped complex64 batches."""
-    import os
     import tempfile
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_input_")
+    try:
+        _bench_input_run(args, rng, tmp)
+    finally:
+        # ~380 MB of synthetic h5 + caches per run; don't fill /tmp
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _bench_input_run(args, rng, tmp):
+    import os
     import time as _time
 
     import h5py
@@ -289,8 +315,6 @@ def bench_input(args):
         get_paired_volume_datasets, ConcatDataset,
     )
 
-    rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix="bench_input_")
     rows = []
     for v in range(4):
         for proto in ("T1", "T2"):

@@ -62,6 +62,18 @@ void* cache_open(const char* path) {
     ::close(fd);
     return nullptr;
   }
+  // a truncated copy keeps a valid header (it sits at byte 0) but maps
+  // fewer data pages than the header promises; reading past the mapping
+  // is SIGBUS inside the OpenMP loop — reject it here instead
+  const int64_t need = 5 * static_cast<int64_t>(sizeof(int64_t)) +
+                       hdr[1] * hdr[2] * hdr[3] * hdr[4] *
+                           static_cast<int64_t>(sizeof(float));
+  if (hdr[1] <= 0 || hdr[2] <= 0 || hdr[3] <= 0 || hdr[4] <= 0 ||
+      st.st_size < need) {
+    munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   Cache* cache = new Cache();
   cache->fd = fd;
   cache->bytes = st.st_size;

@@ -39,13 +39,17 @@ def main():
         print(f"{k:<22}{ours[k]:>12.5f}{theirs[k]:>12.5f}"
               f"{ours[k] - theirs[k]:>12.5f}")
 
-    ok = True
-    if "metric_PSNR" in ours and "metric_PSNR" in theirs:
-        d = abs(ours["metric_PSNR"] - theirs["metric_PSNR"])
-        verdict = "PASS" if d <= args.tol_db else "FAIL"
-        print(f"\nPSNR delta {d:.4f} dB (tol {args.tol_db}) -> {verdict}")
-        ok = d <= args.tol_db
-    return 0 if ok else 1
+    if "metric_PSNR" not in ours or "metric_PSNR" not in theirs:
+        # a missing key must be a FAIL, not a silent pass — exiting 0
+        # here would report parity that was never actually checked
+        print("\nFAIL: metric_PSNR missing from "
+              + ("ours " if "metric_PSNR" not in ours else "")
+              + ("theirs" if "metric_PSNR" not in theirs else ""))
+        return 1
+    d = abs(ours["metric_PSNR"] - theirs["metric_PSNR"])
+    verdict = "PASS" if d <= args.tol_db else "FAIL"
+    print(f"\nPSNR delta {d:.4f} dB (tol {args.tol_db}) -> {verdict}")
+    return 0 if d <= args.tol_db else 1
 
 
 if __name__ == "__main__":

@@ -176,7 +176,11 @@ def main():
 
     print("== 2/5 build reference checkpoint (production scale) ==",
           flush=True)
-    ref_ckpt = os.path.join(args.workdir, "ref_ckpt.pt")
+    # cache key includes the parameters that shaped the checkpoint: a bare
+    # exists-check would silently reuse a ckpt built for a different
+    # --shape/--seed and produce a verdict for a config nobody asked for
+    tag = f"s{args.shape}_seed{args.seed}"
+    ref_ckpt = os.path.join(args.workdir, f"ref_ckpt_{tag}.pt")
     if not os.path.exists(ref_ckpt):
         build_reference_ckpt(ref_ckpt, args.shape, seed=args.seed)
 
@@ -185,7 +189,7 @@ def main():
     eval_reference(ref_ckpt, csv, theirs_json)
 
     print("== 4/5 convert + our eval (jax CPU) ==", flush=True)
-    conv_ckpt = os.path.join(args.workdir, "converted.pt")
+    conv_ckpt = os.path.join(args.workdir, f"converted_{tag}.pt")
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"

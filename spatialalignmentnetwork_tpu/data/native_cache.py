@@ -24,8 +24,17 @@ _LIB_PATH = os.path.join(_REPO_ROOT, "native", "libslicecache.so")
 
 
 def build_library(force=False):
-    """Compile native/libslicecache.so (g++ -fopenmp). Returns the path."""
-    if force or not os.path.exists(_LIB_PATH):
+    """Compile native/libslicecache.so (g++ -fopenmp). Returns the path.
+
+    Rebuilds when the source is newer than the library — a stale binary
+    (e.g. one checked out from elsewhere) must not shadow source changes.
+    """
+    src = os.path.join(_REPO_ROOT, "native", "slicecache.cpp")
+    stale = (
+        not os.path.exists(_LIB_PATH)
+        or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if force or stale:
         subprocess.run(
             ["make", "-C", os.path.join(_REPO_ROOT, "native")],
             check=True, capture_output=True,

@@ -818,17 +818,20 @@ class CSModel:
         )
         key = ("recon", img_full.shape)
         if key not in self._step_cache:
-
-            def step(state, img_full, img_aux):
-                env = self._prepare(img_full, img_aux, state["pruned"])
-                _, imgs, _ = self._forward_TGR(
-                    state["params"], state["stats"], env, train=False,
-                    with_G=False, with_R=True,
-                )
-                return imgs["img_rec"]
-
-            self._step_cache[key] = jax.jit(step)
+            self._step_cache[key] = jax.jit(self.recon_step)
         return self._step_cache[key](self.state, img_full, img_aux)
+
+    def recon_step(self, state, img_full, img_aux):
+        """The eval-mode serving computation — the single source of truth
+        shared by reconstruct() and engine/export.py's AOT artifact (a
+        duplicated closure there could silently diverge from the live
+        serving path)."""
+        env = self._prepare(img_full, img_aux, state["pruned"])
+        _, imgs, _ = self._forward_TGR(
+            state["params"], state["stats"], env, train=False,
+            with_G=False, with_R=True,
+        )
+        return imgs["img_rec"]
 
     # ------------------------------------------------------------- pruning
     def taylor_step(self):

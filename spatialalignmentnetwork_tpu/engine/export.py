@@ -20,15 +20,12 @@ import jax.numpy as jnp
 
 
 def _recon_fn(net):
+    # the exported computation IS the live serving step (CSModel.recon_step)
+    # with the current state baked in as constants — one source of truth
     state = net.state
 
     def fn(img_full, img_aux):
-        env = net._prepare(img_full, img_aux, state["pruned"])
-        _, imgs, _ = net._forward_TGR(
-            state["params"], state["stats"], env, train=False,
-            with_G=False, with_R=True,
-        )
-        return imgs["img_rec"]
+        return net.recon_step(state, img_full, img_aux)
 
     return fn
 

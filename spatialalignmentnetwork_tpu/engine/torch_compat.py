@@ -239,7 +239,11 @@ def load_torch_state_dict(path):
     except Exception:
         import torch
 
-        sd = torch.load(path, map_location="cpu", weights_only=False)
+        # weights_only=True: this tool ingests externally-produced
+        # checkpoint files; an unrestricted unpickle would execute
+        # arbitrary code from a crafted file. Legacy reference files are
+        # plain tensor state dicts, which weights_only handles.
+        sd = torch.load(path, map_location="cpu", weights_only=True)
         return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
