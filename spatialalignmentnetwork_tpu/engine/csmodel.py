@@ -809,6 +809,10 @@ class CSModel:
         semantics); img_aux: reference modality or None. Returns the
         aligned-reference-guided reconstruction [N, 1, H, W] (real).
         Eval-mode, jitted, cached per batch shape.
+
+        On a distributed model (after .distribute(mesh)) the batch is
+        sharded across the mesh — serving throughput scales with chips
+        (the models are replicated; slices are independent).
         """
         from ..utils.transfer import to_device
 
@@ -816,9 +820,28 @@ class CSModel:
         img_aux = (
             jnp.zeros_like(img_full) if img_aux is None else to_device(img_aux)
         )
-        key = ("recon", img_full.shape)
+        dp = self._dp_active(img_full.shape)
+        if dp:
+            from ..parallel.mesh import shard_batch
+
+            img_full, img_aux = shard_batch(self.mesh, (img_full, img_aux))
+        key = ("recon", img_full.shape, dp)
         if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(self.recon_step)
+            if dp:
+                from jax.sharding import NamedSharding, PartitionSpec
+                from ..parallel.mesh import dp_shardings
+
+                state_s, batch_s = dp_shardings(self.mesh, self.state)
+                out_s = NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0])
+                )
+                self._step_cache[key] = jax.jit(
+                    self.recon_step,
+                    in_shardings=(state_s, batch_s, batch_s),
+                    out_shardings=out_s,
+                )
+            else:
+                self._step_cache[key] = jax.jit(self.recon_step)
         return self._step_cache[key](self.state, img_full, img_aux)
 
     def recon_step(self, state, img_full, img_aux):

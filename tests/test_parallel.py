@@ -100,3 +100,27 @@ def test_dp_test_step(mesh):
     assert np.isfinite(ret)
     scalars = net.get_vis("scalars")["scalars"]
     assert "metric_PSNR" in scalars
+
+
+def test_dp_serving_reconstruct_matches_single_device(mesh):
+    """CSModel.reconstruct on a distributed model shards the batch across
+    the mesh and must reproduce the single-device reconstruction."""
+    full, aux = _batch(shape=16, n=8, seed=21)
+
+    solo = CSModel(cfg=tiny_cfg("Rec"), seed=3)
+    solo.eval()
+    want = np.asarray(solo.reconstruct(full, aux))
+
+    dist = CSModel(cfg=tiny_cfg("Rec"), seed=3)
+    dist.eval()
+    dist.distribute(mesh)
+    got = dist.reconstruct(full, aux)
+    # output is sharded over the batch axis of the mesh
+    assert len(got.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-6)
+
+    # non-divisible batch falls back to the unsharded path, same numbers
+    got7 = dist.reconstruct(full[:7], aux[:7])
+    np.testing.assert_allclose(
+        np.asarray(got7), want[:7], rtol=2e-5, atol=2e-6
+    )
