@@ -165,9 +165,9 @@ def guard_backend_alive(metric, probe_timeout_s=180, total_timeout_s=2700):
 
         done.append(float(jnp.sum(jnp.ones((8, 8)))))
 
-    # observed outages are transient (minutes-scale): retry the probe a
-    # few times before declaring the backend dead
-    attempts = 3
+    # observed outages are transient but can last >10 min: retry the probe
+    # for ~15 min before declaring the backend dead
+    attempts = 5
     for i in range(attempts):
         th = threading.Thread(target=_probe, daemon=True)
         th.start()
