@@ -110,6 +110,17 @@ def test_resume_from_latest(workspace):
     logdir = str(root / "log")
     from spatialalignmentnetwork_tpu.engine import train as train_cli
 
+    ckpt_dir = os.path.join(logdir, "ckpt")
+    if not (os.path.isdir(ckpt_dir) and any(
+        n.startswith("ckpt_") for n in os.listdir(ckpt_dir)
+    )):
+        # self-sufficiency: when run in isolation (no prior test populated
+        # the module workspace), produce the checkpoint to resume from
+        test_train_then_eval_cli(workspace)
+
+    before = sorted(
+        n for n in os.listdir(ckpt_dir) if n.startswith("ckpt_")
+    )
     args = argparse.Namespace(
         logdir=logdir, resume="", load_nets=None, epoch=1, batch_size=2,
         num_workers=2, lr=1e-4, intel_stop=1, reg="None",
@@ -119,4 +130,10 @@ def test_resume_from_latest(workspace):
         aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
         net_scale="tiny",
     )
-    train_cli.main(args)  # resumes from the ckpt written by the prior test
+    train_cli.main(args)  # resume="" picks the latest ckpt by mtime
+    # resumption actually happened: the resumed run parses iter_cnt from
+    # the latest name and saves its final ckpt at a LATER iteration
+    after = sorted(
+        n for n in os.listdir(ckpt_dir) if n.startswith("ckpt_")
+    )
+    assert after[-1] > before[-1], (before, after)

@@ -39,9 +39,9 @@ def tiny_cfg(reg="Mixed", shape=16):
 
 def _batch(shape=16, n=4, seed=0):
     rng = np.random.default_rng(seed)
-    mk = lambda s: (rng.random((n, 1, shape, shape))
-                    + 1j * rng.random((n, 1, shape, shape))).astype(np.complex64)
-    return mk(seed), mk(seed + 1)
+    mk = lambda: (rng.random((n, 1, shape, shape))
+                  + 1j * rng.random((n, 1, shape, shape))).astype(np.complex64)
+    return mk(), mk()
 
 
 def test_config_roundtrip(tmp_path):

@@ -32,12 +32,13 @@ def test_matmul_dft_matches_fft():
     from spatialalignmentnetwork_tpu.ops import fft as F
 
     x = _rand_c((2, 2, 24, 20), seed=7)
+    prev = F._FFT_IMPL  # restore the session's configured impl, not "auto"
     try:
         F.set_fft_impl("matmul")
         got_f = np.asarray(F.fft2(jnp.asarray(x)))
         got_i = np.asarray(F.ifft2(jnp.asarray(x)))
     finally:
-        F.set_fft_impl("auto")
+        F.set_fft_impl(prev)
     want_f = np.fft.fft2(x, norm="ortho")
     want_i = np.fft.ifft2(x, norm="ortho")
     np.testing.assert_allclose(got_f, want_f, rtol=1e-4, atol=1e-5)
@@ -47,7 +48,7 @@ def test_matmul_dft_matches_fft():
         F.set_fft_impl("matmul")
         rt = np.asarray(F.ifft2(F.fft2(jnp.asarray(x))))
     finally:
-        F.set_fft_impl("auto")
+        F.set_fft_impl(prev)
     np.testing.assert_allclose(rt, x, rtol=1e-4, atol=1e-5)
 
 

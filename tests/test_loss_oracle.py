@@ -7,6 +7,7 @@ tests/test_losses.py, which checks against inline re-derivations — here the
 oracle is the reference's own executable code.
 """
 
+import os
 import sys
 
 import numpy as np
@@ -14,6 +15,8 @@ import pytest
 import torch
 import jax.numpy as jnp
 
+if not os.path.isdir("/root/reference"):
+    pytest.skip("reference repo not mounted", allow_module_level=True)
 sys.path.insert(0, "/root/reference")
 import ssimloss as ref_ssim  # noqa: E402
 import lnccloss as ref_lncc  # noqa: E402

@@ -88,7 +88,15 @@ def test_two_process_sharded_training(tmp_path):
         )
         for pid in range(NPROC)
     ]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        # a deadlocked worker (e.g. a distributed-barrier hang) must not
+        # outlive the test as a CPU-bound orphan
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     rcs = [p.returncode for p in procs]
     if any(rcs):
         joined = "\n---\n".join(outs)

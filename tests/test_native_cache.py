@@ -9,8 +9,8 @@ import pytest
 from spatialalignmentnetwork_tpu.data import native_cache as NC
 
 pytestmark = pytest.mark.skipif(
-    shutil.which("g++") is None and shutil.which("make") is None,
-    reason="no C++ toolchain",
+    shutil.which("g++") is None or shutil.which("make") is None,
+    reason="no C++ toolchain (need both g++ and make)",
 )
 
 

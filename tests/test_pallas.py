@@ -21,7 +21,7 @@ def test_pallas_grid_sample_matches_reference_all_modes():
     img, grid = _data(0)
     for pm in ("zeros", "border", "reflection"):
         got = grid_sample_pallas(img, grid, pm)
-        want = ref_sample(img, grid, pm)
+        want = ref_sample(img, grid, pm, impl="jnp")
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
         )
@@ -43,7 +43,7 @@ def test_pallas_grid_sample_banded_fast_path():
     cot = jnp.asarray(rng.standard_normal((n, c, h, w)).astype(np.float32))
     for pm in ("zeros", "border", "reflection"):
         got = grid_sample_pallas(img, grid, pm)
-        want = ref_sample(img, grid, pm)
+        want = ref_sample(img, grid, pm, impl="jnp")
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
         )
@@ -74,7 +74,7 @@ def test_pallas_grid_sample_band_boundary_taps():
     # shift everything half a pixel beyond the top edge
     grid = grid.at[..., 1].add(-1.5 / 96)
     got = grid_sample_pallas(img, grid, "zeros")
-    want = ref_sample(img, grid, "zeros")
+    want = ref_sample(img, grid, "zeros", impl="jnp")
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
     )
@@ -84,7 +84,7 @@ def test_pallas_grid_sample_out_of_bounds():
     img, grid = _data(1, scale=2.5)
     for pm in ("zeros", "border", "reflection"):
         got = grid_sample_pallas(img, grid, pm)
-        want = ref_sample(img, grid, pm)
+        want = ref_sample(img, grid, pm, impl="jnp")
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
         )
@@ -93,7 +93,7 @@ def test_pallas_grid_sample_out_of_bounds():
 def test_pallas_grid_sample_nonsquare_block():
     img, grid = _data(2, h=24, w=16)
     got = grid_sample_pallas(img, grid, "zeros")
-    want = ref_sample(img, grid, "zeros")
+    want = ref_sample(img, grid, "zeros", impl="jnp")
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-4, atol=2e-5
     )
