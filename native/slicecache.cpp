@@ -64,12 +64,22 @@ void* cache_open(const char* path) {
   }
   // a truncated copy keeps a valid header (it sits at byte 0) but maps
   // fewer data pages than the header promises; reading past the mapping
-  // is SIGBUS inside the OpenMP loop — reject it here instead
-  const int64_t need = 5 * static_cast<int64_t>(sizeof(int64_t)) +
-                       hdr[1] * hdr[2] * hdr[3] * hdr[4] *
-                           static_cast<int64_t>(sizeof(float));
-  if (hdr[1] <= 0 || hdr[2] <= 0 || hdr[3] <= 0 || hdr[4] <= 0 ||
-      st.st_size < need) {
+  // is SIGBUS inside the OpenMP loop — reject it here instead. The dim
+  // product is computed with overflow checks: a corrupted header with
+  // huge dims would otherwise wrap `need` negative and slip past the
+  // size comparison, resurrecting the SIGBUS this guard prevents.
+  bool bad = hdr[1] <= 0 || hdr[2] <= 0 || hdr[3] <= 0 || hdr[4] <= 0;
+  int64_t elems = 1;
+  for (int i = 1; i <= 4 && !bad; ++i)
+    bad = __builtin_mul_overflow(elems, hdr[i], &elems);
+  int64_t need = 0;
+  bad = bad ||
+        __builtin_mul_overflow(elems, static_cast<int64_t>(sizeof(float)),
+                               &need) ||
+        __builtin_add_overflow(need,
+                               static_cast<int64_t>(5 * sizeof(int64_t)),
+                               &need);
+  if (bad || st.st_size < need) {
     munmap(base, st.st_size);
     ::close(fd);
     return nullptr;

@@ -17,6 +17,11 @@ import sys
 def load_means(path):
     with open(path) as f:
         rows = json.load(f)
+    if isinstance(rows, dict):  # self-describing format: {meta, volumes}
+        meta = rows.get("meta")
+        if meta:
+            print(f"{path} numerics: {meta}")
+        rows = rows["volumes"]
     keys = set().union(*[set(r.keys()) for r in rows])
     return {
         k: statistics.mean([r[k] for r in rows if k in r]) for k in keys

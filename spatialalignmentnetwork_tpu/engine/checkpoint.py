@@ -52,7 +52,10 @@ def ckpt_save(ckpt: dict, folder: str):
     directory first, then swapped in. Deleting the old one BEFORE writing
     (the previous behavior) destroys the only best.pt on a mid-save
     disk-full/SIGKILL and leaves a partial dir that mtime-based resume
-    would pick up.
+    would pick up. The old directory is renamed aside (not rmtree'd)
+    before the swap, so a crash at any point leaves at least one COMPLETE
+    checkpoint under the target name or its `.old-save` sibling; the slow
+    rmtree of the stale copy happens only after the new one is in place.
     """
     assert isinstance(ckpt, dict)
     import shutil
@@ -60,6 +63,7 @@ def ckpt_save(ckpt: dict, folder: str):
     if os.path.exists(folder):
         assert os.path.isdir(folder), folder + " exists and is not a directory"
     tmp = folder.rstrip("/\\") + ".tmp-save"
+    old = folder.rstrip("/\\") + ".old-save"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
@@ -72,8 +76,13 @@ def ckpt_save(ckpt: dict, folder: str):
             with open(path, "wb") as f:
                 np.savez(f, **{k: np.asarray(v) for k, v in flat.items()})
     if os.path.exists(folder):
-        shutil.rmtree(folder)
-    os.replace(tmp, folder)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.replace(folder, old)
+        os.replace(tmp, folder)
+        shutil.rmtree(old)
+    else:
+        os.replace(tmp, folder)
 
 
 def _is_flat(d):
@@ -83,19 +92,60 @@ def _is_flat(d):
 
 
 def ckpt_load(folder: str) -> dict:
-    """Load a checkpoint directory -> {'net_X': flat dict, 'config': Config}.
+    """Load a checkpoint -> {'net_X': flat dict, 'config': Config}.
 
-    Also reads npz entries written by other tools (e.g. converted reference
-    checkpoints) — any flat mapping of names to arrays works.
+    Accepts every layout the reference's loader does (basemodel.py:17-41):
+      * native directory of npz entries + JSON config;
+      * a directory whose entries are torch-serialized state dicts
+        (legacy reference saves);
+      * a single torch-serialized FILE holding the whole
+        {'net_X': state_dict, 'config': ...} dict.
+    Torch-format network entries come back as raw state-dict mappings
+    (torch key names); CSModel.load detects that shape and routes them
+    through torch_compat conversion automatically.
     """
+    if os.path.isfile(folder):
+        return _load_torch_ckpt_file(folder)
     ckpt = {}
     for key in os.listdir(folder):
         path = os.path.join(folder, key)
         if key == "config":
             ckpt[key] = Config().load(path)
         else:
-            with np.load(path, allow_pickle=False) as z:
-                ckpt[key] = {k: z[k] for k in z.files}
+            try:
+                with np.load(path, allow_pickle=False) as z:
+                    ckpt[key] = {k: z[k] for k in z.files}
+            except Exception:
+                from .torch_compat import load_torch_state_dict
+
+                ckpt[key] = load_torch_state_dict(path)
+    return ckpt
+
+
+def _load_torch_ckpt_file(path: str) -> dict:
+    """Legacy single-file torch checkpoint (reference basemodel.py:18-19).
+
+    weights_only=True: refuses arbitrary pickled code from externally
+    produced files. The config entry is accepted as a plain dict (Config
+    objects don't survive weights_only; legacy files carrying one need the
+    offline `python -m ...engine.checkpoint` re-pack under torch).
+    """
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    ckpt = {}
+    for key, val in raw.items():
+        if key == "config":
+            cfg = Config()
+            for k, v in dict(val).items():
+                setattr(cfg, k, v)
+            ckpt[key] = cfg
+        else:
+            ckpt[key] = {
+                k: (v.detach().cpu().numpy() if hasattr(v, "detach") else
+                    np.asarray(v))
+                for k, v in val.items()
+            }
     return ckpt
 
 

@@ -316,15 +316,17 @@ class CSModel:
         return losses, imgs, stats
 
     # ------------------------------------------------------------- train steps
-    def _dp_active(self, batch_shape):
+    def _dp_active(self, batch_shape, warn=True):
         mesh = getattr(self, "mesh", None)
         if mesh is None:
             return False
         if batch_shape[0] % mesh.size != 0:
             # fall back to a replicated single-program step, but say so —
             # silently running 1/N of the advertised throughput (or OOMing
-            # on one device) reads as a kernel bug otherwise
-            if batch_shape not in getattr(self, "_dp_warned", set()):
+            # on one device) reads as a kernel bug otherwise. Serving
+            # (reconstruct) passes warn=False: arbitrary request batch
+            # sizes are expected there and the fallback is by design.
+            if warn and batch_shape not in getattr(self, "_dp_warned", set()):
                 self._dp_warned = getattr(self, "_dp_warned", set())
                 self._dp_warned.add(batch_shape)
                 print(
@@ -820,7 +822,7 @@ class CSModel:
         img_aux = (
             jnp.zeros_like(img_full) if img_aux is None else to_device(img_aux)
         )
-        dp = self._dp_active(img_full.shape)
+        dp = self._dp_active(img_full.shape, warn=False)
         if dp:
             from ..parallel.mesh import shard_batch
 
@@ -978,6 +980,17 @@ class CSModel:
         for name in names:
             assert name in loaded, f"{name} not in checkpoint"
             flat = loaded[name]  # flat {'params/...': arr, 'stats/...': arr}
+            if name in NET_NAMES:
+                from .torch_compat import is_reference_entry, convert_net_state
+
+                if is_reference_entry(flat):
+                    # raw reference torch state_dict (legacy torch file or
+                    # reference npz-of-state_dict save, basemodel.py:17-41):
+                    # convert in place so reference ckpts are first-class
+                    flat = convert_net_state(
+                        name, flat, cfg, self.state["params"].get(name, {})
+                    )
+                    assert flat is not None, f"cannot convert entry {name}"
             params_flat = {
                 k[len("params/"):]: v for k, v in flat.items()
                 if k.startswith("params/")

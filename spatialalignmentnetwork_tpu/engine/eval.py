@@ -127,11 +127,26 @@ def main(args):
             vol = np.asarray(aux[key])[:, 0]  # [S, H, W]
             _save_volume(vol, f"{args.save}/{i}_{name}.nii", affine)
 
-    if args.metric is not None:
-        with open(args.metric, "w") as f:
-            json.dump(stat_eval, f)
+    # raise BEFORE writing the metrics file: a misconfigured --val must not
+    # leave behind a present-but-empty artifact for drivers that only read
+    # the file, not the exit code
     if not stat_eval:
         raise ValueError(f"no volumes found in {args.val}")
+    if args.metric is not None:
+        from ..ops.fft import active_fft_impl, _FFT_MATMUL_PRECISION
+
+        # self-describing parity artifact: record the numerics that
+        # produced these metrics (the matmul-DFT default carries ~2.3e-5
+        # rel err per transform vs the native FFT)
+        meta = {
+            "fft_impl": active_fft_impl(cfg.shape, cfg.shape),
+            "fft_matmul_precision": _FFT_MATMUL_PRECISION,
+            "matmul_precision": getattr(args, "matmul_precision", None),
+            "backend": jax.default_backend(),
+            "checkpoint": os.path.abspath(args.resume),
+        }
+        with open(args.metric, "w") as f:
+            json.dump({"meta": meta, "volumes": stat_eval}, f)
     vis = {
         key: statistics.mean([x[key] for x in stat_eval])
         for key in stat_eval[0]

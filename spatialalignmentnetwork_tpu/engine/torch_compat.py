@@ -247,11 +247,67 @@ def load_torch_state_dict(path):
         return {k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
+def is_reference_entry(flat: dict) -> bool:
+    """Does this per-net flat mapping look like a raw reference torch
+    state_dict (torch key names) rather than a native checkpoint entry
+    ('params/...', 'stats/...', 'pruned')? A bare {'pruned'} entry is
+    treated as native — both interpretations agree for it."""
+    return any(
+        not (k.startswith("params/") or k.startswith("stats/")
+             or k == "pruned")
+        for k in flat.keys()
+    )
+
+
+def convert_net_state(name, sd, cfg, tmpl_params):
+    """In-memory conversion of ONE reference torch state_dict into this
+    framework's flat checkpoint entry ({'params/...': arr, ...}).
+
+    tmpl_params: the freshly-built params tree for this net (its key
+    structure drives slot ordering for the ordered-zip families).
+    Returns None for names this converter doesn't know.
+    """
+    from .checkpoint import flatten_tree
+
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    tmpl_p = flatten_tree(tmpl_params)
+    if name == "net_R":
+        p = varnet_to_flax(
+            sd,
+            num_cascades=cfg.get("net_R_cascades", 8),
+            sens_pools=cfg.get("net_R_sens_pools", 4),
+            pools=cfg.get("net_R_pools", 4),
+        )
+        s, extra = {}, {}
+    elif name == "net_T":
+        p, s = stn_to_flax(sd, tmpl_p.keys())
+        extra = {}
+    elif name == "net_G":
+        p, s = netg_to_flax(sd, tmpl_p.keys())
+        extra = {}
+    elif name == "net_D":
+        p, s = netd_to_flax(sd, tmpl_p.keys())
+        extra = {}
+    elif name == "net_mask":
+        p, extra = mask_to_flax(sd)
+        # fixed masks carry an (all-ones) weight param in reference
+        # checkpoints but have no learnable weight here — drop it
+        if "weight" not in tmpl_p:
+            p.pop("weight", None)
+        s = {}
+    else:
+        return None
+    entry = {f"params/{k}": v for k, v in p.items()}
+    entry.update({f"stats/{k}": v for k, v in s.items()})
+    entry.update(extra)
+    return entry
+
+
 def convert_reference_checkpoint(ref_dir, out_dir, seed=0):
     """Convert a reference checkpoint DIRECTORY into this framework's
     checkpoint format (loadable by CSModel(ckpt=out_dir))."""
     from .csmodel import CSModel
-    from .checkpoint import flatten_tree, ckpt_save
+    from .checkpoint import ckpt_save
 
     cfg = Config().load(os.path.join(ref_dir, "config"))
     net = CSModel(cfg=cfg, seed=seed)
@@ -262,37 +318,11 @@ def convert_reference_checkpoint(ref_dir, out_dir, seed=0):
         if name == "config":
             continue
         sd = load_torch_state_dict(path)
-        tmpl_p = flatten_tree(net.state["params"].get(name, {}))
-        if name == "net_R":
-            p = varnet_to_flax(
-                sd,
-                num_cascades=cfg.get("net_R_cascades", 8),
-                sens_pools=cfg.get("net_R_sens_pools", 4),
-                pools=cfg.get("net_R_pools", 4),
-            )
-            s, extra = {}, {}
-        elif name == "net_T":
-            p, s = stn_to_flax(sd, tmpl_p.keys())
-            extra = {}
-        elif name == "net_G":
-            p, s = netg_to_flax(sd, tmpl_p.keys())
-            extra = {}
-        elif name == "net_D":
-            p, s = netd_to_flax(sd, tmpl_p.keys())
-            extra = {}
-        elif name == "net_mask":
-            p, extra = mask_to_flax(sd)
-            # fixed masks carry an (all-ones) weight param in reference
-            # checkpoints but have no learnable weight here — drop it
-            if "weight" not in tmpl_p:
-                p.pop("weight", None)
-            s = {}
-        else:
-            continue
-        entry = {f"params/{k}": v for k, v in p.items()}
-        entry.update({f"stats/{k}": v for k, v in s.items()})
-        entry.update(extra)
-        ckpt[name] = entry
+        entry = convert_net_state(
+            name, sd, cfg, net.state["params"].get(name, {})
+        )
+        if entry is not None:
+            ckpt[name] = entry
     ckpt["config"] = cfg
     ckpt_save(ckpt, out_dir)
     return out_dir

@@ -76,7 +76,9 @@ def test_train_then_eval_cli(workspace):
 
     assert "metric_PSNR" in result and np.isfinite(result["metric_PSNR"])
     with open(metric_path) as f:
-        per_volume = json.load(f)
+        metric_doc = json.load(f)
+    assert metric_doc["meta"]["fft_impl"] in ("xla", "matmul")
+    per_volume = metric_doc["volumes"]
     assert len(per_volume) == 2
     # output volumes written (npy fallback without nibabel)
     names = os.listdir(save_dir)

@@ -294,10 +294,10 @@ def test_gan_parity_full_architecture():
     np.testing.assert_allclose(gotD, wantD, rtol=2e-3, atol=2e-4)
 
 
-def test_convert_reference_checkpoint_end_to_end(tmp_path):
-    """Build a reference-format checkpoint directory (per-net npz of torch
-    state dicts + config JSON, basemodel.py:43-55 layout), convert it, load
-    it into CSModel, and run an eval step."""
+def _build_reference_ckpt_dir(tmp_path):
+    """Reference-format checkpoint directory (per-net npz of torch state
+    dicts + config JSON, basemodel.py:43-55 layout) with tiny nets.
+    Returns (ref_dir, pruned, tR)."""
     import json
     import varnet as ref_varnet
     import gan as ref_gan
@@ -333,19 +333,13 @@ def test_convert_reference_checkpoint_end_to_end(tmp_path):
     )
     with open(ref_dir / "config", "w") as f:
         json.dump(cfg, f)
+    return ref_dir, pruned, tR
 
-    from spatialalignmentnetwork_tpu.engine.torch_compat import (
-        convert_reference_checkpoint,
-    )
 
-    out_dir = str(tmp_path / "converted.pt")
-    convert_reference_checkpoint(str(ref_dir), out_dir)
-
-    net = CSModel(ckpt=out_dir)
-    # pruned vector survived the conversion
+def _assert_loaded_model_matches_reference(net, pruned, tR):
+    """The loaded CSModel carries the reference weights: pruned vector
+    survived and the recon output matches the reference VarNet."""
     np.testing.assert_array_equal(np.asarray(net.state["pruned"]), pruned)
-    # loaded model runs an eval step with the converted weights, and the
-    # recon output matches the reference VarNet on the same inputs
     rng = np.random.default_rng(0)
     full = jnp.asarray(
         (rng.random((2, 1, 16, 16)) + 1j * rng.random((2, 1, 16, 16))
@@ -370,6 +364,49 @@ def test_convert_reference_checkpoint_end_to_end(tmp_path):
         ).numpy()
     np.testing.assert_allclose(
         np.asarray(net._aux["img_rec"]), want, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_convert_reference_checkpoint_end_to_end(tmp_path):
+    """Offline conversion: convert a reference checkpoint directory, load
+    the converted copy into CSModel, and run an eval step."""
+    ref_dir, pruned, tR = _build_reference_ckpt_dir(tmp_path)
+
+    from spatialalignmentnetwork_tpu.engine.torch_compat import (
+        convert_reference_checkpoint,
+    )
+
+    out_dir = str(tmp_path / "converted.pt")
+    convert_reference_checkpoint(str(ref_dir), out_dir)
+    _assert_loaded_model_matches_reference(CSModel(ckpt=out_dir), pruned, tR)
+
+
+def test_autoload_reference_checkpoint_dir(tmp_path):
+    """A reference checkpoint DIRECTORY loads directly — no offline
+    conversion step (basemodel.py:17-41 transparency, VERDICT missing #1)."""
+    ref_dir, pruned, tR = _build_reference_ckpt_dir(tmp_path)
+    _assert_loaded_model_matches_reference(
+        CSModel(ckpt=str(ref_dir)), pruned, tR
+    )
+
+
+def test_autoload_legacy_torch_file(tmp_path):
+    """A legacy single-file torch.save checkpoint loads directly
+    (reference basemodel.py:18-19)."""
+    import json
+
+    ref_dir, pruned, tR = _build_reference_ckpt_dir(tmp_path)
+    # re-pack the directory as the legacy single torch file
+    whole = {}
+    for name in ("net_R", "net_G", "net_D", "net_mask"):
+        with np.load(ref_dir / name, allow_pickle=False) as z:
+            whole[name] = {k: torch.from_numpy(z[k]) for k in z.files}
+    with open(ref_dir / "config") as f:
+        whole["config"] = json.load(f)
+    legacy = tmp_path / "legacy_best.pt"
+    torch.save(whole, str(legacy))
+    _assert_loaded_model_matches_reference(
+        CSModel(ckpt=str(legacy)), pruned, tR
     )
 
 
