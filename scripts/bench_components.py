@@ -6,7 +6,11 @@ cascade's NormUnet, FFT pair, full forward) with the same readback-anchored
 marginal-timing methodology as bench.py, to locate the bottleneck on real
 hardware. Prints one JSON line per component.
 
-Usage: python scripts/bench_components.py [--batch N] [--iters N]
+`--nets` switches to the per-network complexity report (the reference's
+ptflops harness, model.py:323-421): params / GMACs / latency / compiled
+memory for each of net_D, net_G, net_T, net_R at reference scale.
+
+Usage: python scripts/bench_components.py [--batch N] [--iters N] [--nets]
 """
 
 import argparse
@@ -36,12 +40,155 @@ def marginal_time(make_chain, args, iters, repeats=2):
     return max(t(long) - t(short), 1e-9) / iters
 
 
+def per_network_report(args):
+    """Per-net params/MACs/latency/memory (reference model.py:323-421).
+
+    MACs: XLA cost analysis for D/G/T (no scan in those nets, so the count
+    is exact); the analytic count for the scanned VarNet (utils/flops.py —
+    XLA counts scan bodies once regardless of trip count).
+    """
+    import jax
+    import jax.numpy as jnp
+    from spatialalignmentnetwork_tpu.engine.config import Config
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+    from spatialalignmentnetwork_tpu.utils import flops as flops_lib
+    from spatialalignmentnetwork_tpu.utils.cache import enable_compilation_cache
+    from spatialalignmentnetwork_tpu.utils.transfer import to_device
+    from spatialalignmentnetwork_tpu.ops import fft as F
+
+    enable_compilation_cache()
+    shape, B = args.shape, args.batch
+    cfg = Config(sparsity=0.25, lr=1e-4, shape=shape, coils=1, reg="Mixed",
+                 mask="equispaced", weight_smooth=1000.0, weight_gan=0.1,
+                 weight_gan_sim=1.0, weight_sim=1.0,
+                 use_amp=(args.dtype == "bf16"))
+    if args.tiny:  # CI-scale architectures (the report shape, not the data)
+        cfg.net_G_layers = [4, 8]
+        cfg.net_D_blocks = [[4], [8]]
+        cfg.net_T_layers = [4, 8]
+        cfg.net_R_cascades = 2
+        cfg.net_R_chans = 4
+        cfg.net_R_sens_chans = 4
+        cfg.net_R_pools = 2
+        cfg.net_R_sens_pools = 2
+    net = CSModel(cfg=cfg)
+    net.eval()
+    params = net.state["params"]
+    stats = net.state["stats"]
+
+    rng = np.random.default_rng(0)
+    img = to_device(np.abs(rng.standard_normal(
+        (B, 1, shape, shape))).astype(np.float32))
+    img2 = to_device(np.abs(rng.standard_normal(
+        (B, 1, shape, shape))).astype(np.float32))
+    k = to_device((rng.standard_normal((B, 1, shape, shape))
+                   + 1j * rng.standard_normal((B, 1, shape, shape))
+                   ).astype(np.complex64))
+    pruned = net.state["pruned"]
+    k = k * jnp.logical_not(pruned)[None, None, None, :]
+
+    runs = {
+        "net_D": (lambda d: net._apply_D(
+            params["net_D"], stats["net_D"], d, False)[0],
+            (jnp.concatenate([img, img2], axis=1),)),
+        "net_G": (lambda g: net._apply_G(
+            params["net_G"], stats["net_G"], g, False)[0],
+            (img,)),
+        "net_T": (lambda m, f: net._apply_T(
+            params["net_T"], stats["net_T"], m, f, False)[0],
+            (img, img2)),
+        "net_R": (lambda kk: net._forward_R(
+            params["net_R"], kk, pruned, img), (k,)),
+    }
+    analytic_macs = {
+        "net_R": flops_lib.varnet_flops(
+            shape,
+            num_cascades=cfg.get("net_R_cascades", 8),
+            sens_chans=cfg.get("net_R_sens_chans", 8),
+            sens_pools=cfg.get("net_R_sens_pools", 4),
+            chans=cfg.get("net_R_chans", 18),
+            pools=cfg.get("net_R_pools", 4),
+            fft_impl=F.active_fft_impl(shape, shape),
+        ) / 2.0,
+    }
+
+    for name, (fn, inputs) in runs.items():
+        n_params = sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree_util.tree_leaves(params[name])
+        )
+        jfn = jax.jit(fn)
+        lowered = jfn.lower(*inputs)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis() or {}
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0] if cost else {}
+        if name in analytic_macs:
+            gmacs = analytic_macs[name] / 1e9
+            macs_src = "analytic"
+        else:
+            gmacs = float(cost.get("flops", 0.0)) / 2.0 / B / 1e9
+            macs_src = "xla_cost_analysis"
+        try:
+            mem = compiled.memory_analysis()
+            peak_bytes = int(
+                getattr(mem, "temp_size_in_bytes", 0)
+                + getattr(mem, "output_size_in_bytes", 0)
+            )
+        except Exception:
+            peak_bytes = None
+
+        def make(n, fn=fn):
+            @jax.jit
+            def run(*xs):
+                def body(c, _):
+                    # thread the carry into the input so the call is not
+                    # loop-invariant (XLA would hoist it out of the scan)
+                    x0 = xs[0] + (1e-30 * c).astype(xs[0].dtype)
+                    out = fn(x0, *xs[1:])
+                    return c + jnp.mean(jnp.abs(out)).astype(jnp.float32), ()
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=n)
+                return c
+            return run
+
+        t = marginal_time(make, inputs, args.iters)
+        print(json.dumps({
+            "net": name,
+            "params": n_params,
+            "gmacs_per_slice": round(gmacs, 6),
+            "macs_source": macs_src,
+            "ms_per_call": round(t * 1e3, 3),
+            "slices_per_sec": round(B / t, 1),
+            "compiled_bytes": peak_bytes,
+            "batch": B,
+            "dtype": args.dtype,
+        }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--dtype", type=str, default="bf16")
+    p.add_argument("--nets", action="store_true",
+                   help="per-network params/MACs/latency report")
+    p.add_argument("--shape", type=int, default=320,
+                   help="slice resolution for --nets")
+    p.add_argument("--tiny", action="store_true",
+                   help="CI-scale architectures for --nets")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (sitecustomize overrides the "
+                        "JAX_PLATFORMS env var in this sandbox)")
     args = p.parse_args()
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.nets:
+        per_network_report(args)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -165,14 +165,23 @@ def main():
     p.add_argument("--out", default=os.path.join(REPO, "docs", "parity"))
     p.add_argument("--tol_db", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--val", default=None, metavar="CSV",
+                   help="evaluate on this paired-volume CSV (e.g. the "
+                        "canonical data/manifests/t1_t2_paired_6875_test.csv "
+                        "with the fastMRI checkout mounted) instead of "
+                        "synthesizing a dataset")
     args = p.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(args.out, exist_ok=True)
 
-    print("== 1/5 synthesize dataset ==", flush=True)
-    csv = make_dataset(args.workdir, args.volumes, args.slices, args.shape,
-                       seed=args.seed)
+    if args.val:
+        print(f"== 1/5 using provided dataset {args.val} ==", flush=True)
+        csv = args.val
+    else:
+        print("== 1/5 synthesize dataset ==", flush=True)
+        csv = make_dataset(args.workdir, args.volumes, args.slices,
+                           args.shape, seed=args.seed)
 
     print("== 2/5 build reference checkpoint (production scale) ==",
           flush=True)

@@ -76,26 +76,41 @@ def ssim(gt, pred, data_range=1.0):
 
 
 def dice(gt, pred, label=None):
+    """Sørensen–Dice overlap 2|A∩B| / (|A|+|B|) of two label maps
+    (same quantity as the reference's metrics.py:45-52)."""
     gt, pred = to_numpy(gt, pred)
-    if label is None:
-        gt, pred = gt.astype(bool), pred.astype(bool)
-    else:
-        gt, pred = (gt == label), (pred == label)
-    inter = np.logical_and(gt, pred)
-    return float(2.0 * inter.sum() / (gt.sum() + pred.sum()))
+    a = gt.astype(bool) if label is None else np.equal(gt, label)
+    b = pred.astype(bool) if label is None else np.equal(pred, label)
+    hits = np.count_nonzero(a & b)
+    return float(2.0 * hits / (np.count_nonzero(a) + np.count_nonzero(b)))
+
+
+def _entropy(p):
+    """Shannon entropy of a (possibly unnormalized-by-epsilon) histogram."""
+    return -float(xlogy(p, p).sum())
 
 
 def mi(gt, pred, bins=64, minVal=0, maxVal=1):
+    """Per-slice mutual information from a 64-bin joint histogram over
+    [minVal, maxVal]², averaged over the batch.
+
+    Computed as MI = H(x) + H(y) − H(x, y), which is algebraically
+    identical to the Σ p·log p − Σ p·log(pₓ·p_y) difference form the
+    reference uses (metrics.py:55-69) — the parity contract (64 bins,
+    range-clipped histogram, +1e-10 normalization) is preserved exactly.
+    """
     gt, pred = to_numpy(gt, pred)
     assert gt.shape == pred.shape
+    span = (minVal, maxVal)
     vals = []
     for x, y in zip(gt, pred):
-        Pxy = np.histogram2d(
-            x.ravel(), y.ravel(), bins, range=((minVal, maxVal), (minVal, maxVal))
+        joint = np.histogram2d(
+            x.ravel(), y.ravel(), bins, range=(span, span)
         )[0]
-        Pxy = Pxy / (Pxy.sum() + 1e-10)
-        Px = Pxy.sum(axis=1)
-        Py = Pxy.sum(axis=0)
-        PxPy = Px[..., None] * Py[None, ...]
-        vals.append((xlogy(Pxy, Pxy) - xlogy(Pxy, PxPy)).sum())
+        joint /= joint.sum() + 1e-10
+        vals.append(
+            _entropy(joint.sum(axis=0))
+            + _entropy(joint.sum(axis=1))
+            - _entropy(joint)
+        )
     return float(np.mean(vals))
