@@ -663,17 +663,21 @@ class CSModel:
 
         return step
 
-    def _make_test_step(self, batch_shape):
-        fn = self._make_test_step_fn()
+    def _make_test_step(self, batch_shape, masked=False):
+        fn = self._make_test_step_fn(masked=masked)
         if self._dp_active(batch_shape):
+            from jax.sharding import NamedSharding, PartitionSpec
             from ..parallel.mesh import dp_shardings
 
             state_s, batch_s = dp_shardings(self.mesh, self.state)
-            return jax.jit(fn, in_shardings=(state_s, batch_s, batch_s))
+            shardings = [state_s, batch_s, batch_s]
+            if masked:
+                shardings.append(NamedSharding(self.mesh, PartitionSpec()))
+            return jax.jit(fn, in_shardings=tuple(shardings))
         return jax.jit(fn)
 
-    def _make_test_step_fn(self):
-        def step(state, img_full, img_aux):
+    def _make_test_step_fn(self, masked=False):
+        def step(state, img_full, img_aux, valid=None):
             env = self._prepare(img_full, img_aux, state["pruned"])
             losses, imgs, _ = self._forward_TGR(
                 state["params"], state["stats"], env, train=False,
@@ -696,11 +700,42 @@ class CSModel:
             full = env["img_full_rss"].astype(jnp.float32)
             rec = imgs["img_rec"].astype(jnp.float32)
             warped = imgs["img_warped_rss"].astype(jnp.float32)
-            aux["metric_MI"] = jmetrics.mi(full, warped)
-            aux["metric_PSNR"] = jmetrics.psnr(full, rec)
-            aux["metric_SSIM"] = jmetrics.ssim(full, rec)
-            aux["metric_MAE"] = jmetrics.mae(full, rec)
-            aux["metric_MSE"] = jmetrics.mse(full, rec)
+            if not masked:
+                aux["metric_MI"] = jmetrics.mi(full, warped)
+                aux["metric_PSNR"] = jmetrics.psnr(full, rec)
+                aux["metric_SSIM"] = jmetrics.ssim(full, rec)
+                aux["metric_MAE"] = jmetrics.mae(full, rec)
+                aux["metric_MSE"] = jmetrics.mse(full, rec)
+                return aux
+
+            # bucketed eval: pad slices (valid == 0) are excluded from
+            # every reported scalar; `valid` is a dynamic input, so any
+            # slice count reuses this compiled step for its bucket size
+            w = valid.astype(jnp.float32)
+            n = jnp.sum(w)
+
+            def wmean(per_slice):
+                return jnp.sum(per_slice * w) / n
+
+            mse_s = jmetrics.mse_per_slice(full, rec)
+            aux["metric_MI"] = wmean(jmetrics.mi_per_slice(full, warped))
+            aux["metric_PSNR"] = 10.0 * jnp.log10(1.0 / wmean(mse_s))
+            ssim_s = jmetrics.ssim_per_slice(full, rec)
+            aux["metric_SSIM"] = wmean(ssim_s)
+            aux["metric_MAE"] = wmean(jmetrics.mae_per_slice(full, rec))
+            aux["metric_MSE"] = wmean(mse_s)
+            # the raw losses were reduced over pad slices too — recompute
+            # the scalar losses as masked per-slice means (values match
+            # the unpadded step: every contributing op is per-sample)
+            aux["loss_sim"] = 1.0 - wmean(ssim_s)
+            if "img_aligned" in imgs:
+                aux["loss_gan_sim"] = wmean(jnp.mean(
+                    jnp.abs(imgs["img_aligned"].astype(jnp.float32) - full),
+                    axis=(1, 2, 3),
+                ))
+            aux["loss_smooth"] = wmean(jax.vmap(
+                lambda o: gradient_loss(o[None])
+            )(imgs["img_offset"]))
             return aux
 
         return step
@@ -763,12 +798,20 @@ class CSModel:
         self.state, aux = self._step_cache[key](self.state, *self._batch, sub)
         self._aux = aux
 
-    def test(self):
+    def test(self, valid=None):
+        """Eval step. valid: optional float/bool [N] slice-validity vector
+        for bucketed (padded) batches — pad slices are masked out of every
+        reported scalar. A dynamic input: volumes with different slice
+        counts padded to the same bucket share one compiled step."""
         assert not self.training
-        key = ("test", self._batch[0].shape)
+        masked = valid is not None
+        key = ("test", self._batch[0].shape, masked)
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_test_step(self._batch[0].shape)
-        aux = dict(self._step_cache[key](self.state, *self._batch))
+            self._step_cache[key] = self._make_test_step(
+                self._batch[0].shape, masked=masked
+            )
+        extra = (jnp.asarray(valid),) if masked else ()
+        aux = dict(self._step_cache[key](self.state, *self._batch, *extra))
         self._aux = aux
         if self.cfg.reg == "GAN-Only":
             return -float(aux["metric_MI"])

@@ -25,6 +25,33 @@ from ..utils.transfer import to_device
 from .csmodel import CSModel
 
 
+def _bucket_pad(arrays, bucket):
+    """Pad [S, ...] numpy arrays to the next multiple of `bucket` along the
+    slice axis, preserving the forwardG half-split semantics: the first
+    ceil(S/2) slices stay at the front and the remaining slices start at
+    ceil(P/2) (csmodel._forward_TGR splits at n1 = ceil(n/2), mirroring
+    reference model.py:125-136 torch.chunk). Volumes with different slice
+    counts padded to the same bucket share ONE compiled test step.
+
+    Returns (padded_arrays, valid[P] float32, restore_indices[S]).
+    """
+    s = arrays[0].shape[0]
+    p = -(-s // bucket) * bucket
+    if p == s:
+        return arrays, np.ones(s, np.float32), np.arange(s)
+    n1s, n1p = (s + 1) // 2, (p + 1) // 2
+    idx = np.concatenate([np.arange(n1s), n1p + np.arange(s - n1s)])
+    valid = np.zeros(p, np.float32)
+    valid[idx] = 1.0
+    out = []
+    for a in arrays:
+        padded = np.zeros((p,) + a.shape[1:], a.dtype)
+        padded[:n1s] = a[:n1s]
+        padded[n1p:n1p + (s - n1s)] = a[n1s:]
+        out.append(padded)
+    return out, valid, idx
+
+
 def _save_volume(arr, path, affine):
     """Save [S, H, W] (or [2, S, H, W] grid) as NIfTI if nibabel exists,
     else .npy."""
@@ -89,12 +116,21 @@ def main(args):
         print(f"data parallelism over {mesh.size} devices")
 
     rng = jax.random.PRNGKey(int(time.time()))
+    bucket = int(getattr(args, "bucket", 16) or 0)
     stat_eval = []
     for i, volume in enumerate(volumes):
-        batch = [
-            to_device(np.stack(s, axis=0))
+        host_batch = [
+            np.stack(s, axis=0)
             for s in zip(*[volume[j] for j in range(len(volume))])
         ]
+        if bucket > 0:
+            # pad the slice axis to a bucket size so a whole split with
+            # varying slice counts compiles only a handful of test steps;
+            # pad slices are masked out of every scalar by net.test(valid)
+            host_batch, valid, restore = _bucket_pad(host_batch, bucket)
+        else:
+            valid, restore = None, np.arange(host_batch[0].shape[0])
+        batch = [to_device(x) for x in host_batch]
         if args.aux_aug > 0:
             img_full, img_aux = batch
             rng, k = jax.random.split(rng)
@@ -104,14 +140,14 @@ def main(args):
                 for x in (img_full, img_aux)
             ]
         net.set_input(*batch)
-        net.test()
+        net.test(valid=valid)
         vis = net.get_vis("scalars")
         stat_eval.append(vis["scalars"])
         print(f"volume {i}: " + str({k: round(v, 4) for k, v in vis["scalars"].items()}))
         if args.save is None:
             continue
         aux = net._aux
-        grid = np.asarray(aux["img_offset"])  # [S, H, W, 2]
+        grid = np.asarray(aux["img_offset"])[restore]  # [S, H, W, 2]
         grid = np.stack(
             [grid[..., 0], grid[..., 1], np.zeros_like(grid[..., 0])], axis=-1
         ) * (cfg.shape - 1) / 2
@@ -124,7 +160,7 @@ def main(args):
             ("warped", "img_warped_rss"),
             ("rec", "img_rec"),
         ):
-            vol = np.asarray(aux[key])[:, 0]  # [S, H, W]
+            vol = np.asarray(aux[key])[restore][:, 0]  # [S, H, W]
             _save_volume(vol, f"{args.save}/{i}_{name}.nii", affine)
 
     # raise BEFORE writing the metrics file: a misconfigured --val must not
@@ -170,6 +206,11 @@ def build_parser():
                         nargs="*")
     parser.add_argument("--aux_aug", type=float, default=-1,
                         help="scaled misalignment factor; -1 disables")
+    parser.add_argument("--bucket", type=int, default=16,
+                        help="pad each volume's slice axis to a multiple of "
+                             "this so varying slice counts share compiled "
+                             "steps (pad slices are masked out of metrics); "
+                             "0 disables")
     parser.add_argument("--data_parallel", action="store_true",
                         help="shard volume slices across all local devices")
     parser.add_argument("--platform", type=str, default=None,

@@ -52,8 +52,8 @@ def _xlogy(x, y):
     return jnp.where(x == 0.0, 0.0, x * jnp.log(jnp.where(x == 0.0, 1.0, y)))
 
 
-def mi(gt, pred, bins=64, minVal=0.0, maxVal=1.0):
-    """64-bin joint-histogram mutual information per slice, batch-averaged
+def mi_per_slice(gt, pred, bins=64, minVal=0.0, maxVal=1.0):
+    """Per-slice 64-bin joint-histogram mutual information -> [N]
     (reference metrics.py:55-69 semantics)."""
 
     def one(x, y):
@@ -64,4 +64,26 @@ def mi(gt, pred, bins=64, minVal=0.0, maxVal=1.0):
         pxpy = px[:, None] * py[None, :]
         return (_xlogy(pxy, pxy) - _xlogy(pxy, pxpy)).sum()
 
-    return jnp.mean(jax.vmap(one)(gt, pred))
+    return jax.vmap(one)(gt, pred)
+
+
+def mi(gt, pred, bins=64, minVal=0.0, maxVal=1.0):
+    """Batch-averaged per-slice mutual information."""
+    return jnp.mean(mi_per_slice(gt, pred, bins, minVal, maxVal))
+
+
+# ------------------------------------------------ per-slice reductions
+# Used by the padded (bucketed) eval step: each returns [N] so pad slices
+# can be masked out of the volume mean without a recompile per slice count.
+def mse_per_slice(gt, pred):
+    return jnp.mean((gt - pred) ** 2, axis=(1, 2, 3))
+
+
+def mae_per_slice(gt, pred):
+    return jnp.mean(jnp.abs(gt - pred), axis=(1, 2, 3))
+
+
+def ssim_per_slice(gt, pred, data_range=1.0):
+    return jnp.mean(
+        ssim_map(gt, pred, data_range=data_range), axis=(1, 2, 3)
+    )

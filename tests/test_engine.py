@@ -412,6 +412,48 @@ def test_test_step_metrics(tmp_path):
     assert "img_rec" in imgs and imgs["img_rec"].shape == (4, 1, 16, 16)
 
 
+def test_bucketed_eval_matches_unpadded_and_shares_compiles():
+    """Bucketed (padded+masked) eval: scalars equal the unpadded step, and
+    volumes with different slice counts padded to one bucket share ONE
+    compiled test step (VERDICT weak #5)."""
+    from spatialalignmentnetwork_tpu.engine.eval import _bucket_pad
+
+    cfg = tiny_cfg("Mixed")
+    net = CSModel(cfg=cfg)
+    net.eval()
+
+    # reference scalars: unpadded whole-volume step per slice count
+    want = {}
+    for s, seed in ((3, 1), (5, 2)):
+        full, aux = _batch(n=s, seed=seed)
+        net.set_input(full, aux)
+        net.test()
+        want[s] = net.get_vis("scalars")["scalars"]
+
+    net2 = CSModel(cfg=cfg)  # same seed -> same weights
+    net2.eval()
+    got = {}
+    for s, seed in ((3, 1), (5, 2)):
+        full, aux = _batch(n=s, seed=seed)
+        padded, valid, restore = _bucket_pad([full, aux], bucket=8)
+        assert padded[0].shape[0] == 8
+        assert valid.sum() == s
+        net2.set_input(*padded)
+        net2.test(valid=valid)
+        got[s] = net2.get_vis("scalars")["scalars"]
+        # restore indices recover the original slices exactly
+        np.testing.assert_array_equal(padded[0][restore], full)
+
+    for s in (3, 5):
+        for k, v in want[s].items():
+            if np.isfinite(v):
+                assert abs(got[s][k] - v) < 2e-3 * max(1.0, abs(v)), (
+                    s, k, v, got[s][k])
+    # both volumes (3 and 5 slices -> both bucket 8) used one compiled step
+    test_keys = [k for k in net2._step_cache if k[0] == "test"]
+    assert len(test_keys) == 1, test_keys
+
+
 def test_ckpt_save_is_atomic(tmp_path, monkeypatch):
     """A failure mid-save must leave the previous checkpoint intact (the
     old rmtree-first behavior destroyed the only best.pt and left a
