@@ -1038,6 +1038,19 @@ class CSModel:
                 k[len("params/"):]: v for k, v in flat.items()
                 if k.startswith("params/")
             }
+            if name == "net_mask" and "weight" in params_flat and (
+                "weight" not in self.state["params"]["net_mask"]
+            ):
+                # a pruned Taylor mask checkpoints its averaged saliency as
+                # net_mask.weight (reference masks.py:228 stores it in the
+                # weight buffer); fresh taylor builds start without the
+                # slot — create it so the snapshot round-trips
+                self.state["params"]["net_mask"] = dict(
+                    self.state["params"]["net_mask"],
+                    weight=jnp.zeros(
+                        np.asarray(params_flat["weight"]).shape, jnp.float32
+                    ),
+                )
             stats_flat = {
                 k[len("stats/"):]: v for k, v in flat.items()
                 if k.startswith("stats/")

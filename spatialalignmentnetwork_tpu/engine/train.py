@@ -63,6 +63,12 @@ def build_cfg(args) -> Config:
     cfg.use_amp = args.use_amp
     if getattr(args, "grad_accum", 1) > 1:
         cfg.grad_accum = args.grad_accum
+    if getattr(args, "learn_mask", False):
+        # LOUPE live mask learning: undersampling in the train step uses
+        # the differentiable soft-sigmoid sample so gradients reach the
+        # mask logits (csmodel._prepare; reference masks.py:185-188)
+        assert args.mask == "loupe", "--learn_mask requires --mask loupe"
+        cfg.learn_mask = True
     if getattr(args, "net_scale", "full") == "tiny":
         # reduced architecture for CI / smoke runs; persisted in the ckpt
         # config so eval rebuilds the same scale
@@ -234,6 +240,15 @@ def main(args):
     )
 
     print("training...")
+    prune_every = int(getattr(args, "prune_every", 0) or 0)
+    if prune_every > 0:
+        assert getattr(args, "prune_num", 0) > 0, (
+            "--prune_every needs --prune_num > 0"
+        )
+        assert cfg.mask != "loupe", (
+            "LOUPE prunes via its probability mask (use --learn_mask), "
+            "not the prune schedule"
+        )
     last_loss, last_ckpt, last_disp = 0, 0, 0
     signal_end = False
     iter_best = iter_cnt
@@ -264,6 +279,20 @@ def main(args):
                 jax.profiler.start_trace(args.logdir + "/trace")
             net.set_input(*batch_dev)
             net.update()
+            if prune_every > 0:
+                # pruning schedule (extension; the reference exposes
+                # CSModel.prune, model.py:288-290, but never schedules it)
+                if cfg.mask == "taylor":
+                    # per-batch Taylor saliency accumulation
+                    # (masks.py:232-244 backward-hook equivalent)
+                    net.taylor_step()
+                if iter_cnt % prune_every == 0:
+                    net.prune(args.prune_num)
+                    dens = float(
+                        1.0 - np.asarray(net.state["pruned"]).mean()
+                    )
+                    print(f"\npruned at iter {iter_cnt}: "
+                          f"keep density {dens:.4f}", flush=True)
             if trace_at and iter_cnt == trace_at:
                 jax.block_until_ready(net.state["params"])
                 jax.profiler.stop_trace()
@@ -387,6 +416,14 @@ def build_parser():
     parser.add_argument("--sim_weight", type=float, required=True)
     parser.add_argument("--mask", metavar="type", required=True, type=str)
     parser.add_argument("--sparsity", metavar="0-1", type=float, default=None)
+    parser.add_argument("--learn_mask", action="store_true",
+                        help="LOUPE live mask learning: gradients reach the "
+                             "mask logits through the soft sample")
+    parser.add_argument("--prune_every", type=int, default=0, metavar="N",
+                        help="prune the mask every N iters (taylor/magnitude "
+                             "masks); 0 disables")
+    parser.add_argument("--prune_num", type=int, default=0, metavar="K",
+                        help="lines to prune per prune_every round")
     parser.add_argument("--train", metavar="/path/to/training_data",
                         required=True, type=str)
     parser.add_argument("--val", metavar="/path/to/validation_data",

@@ -107,6 +107,71 @@ def test_train_cli_data_parallel(workspace):
     assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
 
 
+def test_train_cli_learn_mask_loupe(workspace):
+    """--learn_mask drives LOUPE logit learning through the real CLI
+    (VERDICT weak #6): the trained logits moved from their init and the
+    hard mask keeps exactly int(sparsity*W + 0.5) lines."""
+    root, csv = workspace
+    logdir = str(root / "log_loupe")
+    from spatialalignmentnetwork_tpu.engine import train as train_cli
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+    args = argparse.Namespace(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="loupe", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
+        net_scale="tiny", learn_mask=True,
+    )
+    train_cli.main(args)
+
+    best = os.path.join(logdir, "ckpt", "best.pt")
+    net = CSModel(ckpt=best)
+    assert net.cfg.get("learn_mask") is True  # persisted in the config
+    got = np.asarray(net.state["params"]["net_mask"]["weight"])
+    # same-seed fresh build gives the init logits the CLI started from
+    init = CSModel(cfg=net.cfg, seed=0)
+    want0 = np.asarray(init.state["params"]["net_mask"]["weight"])
+    assert got.shape == want0.shape
+    assert np.abs(got - want0).max() > 1e-6, "mask logits never moved"
+    # sparsity held by the hard mask refresh
+    kept = int((~np.asarray(net.state["pruned"])).sum())
+    assert kept == int(0.25 * 16 + 0.5), kept
+
+
+def test_train_cli_prune_schedule_taylor(workspace):
+    """--prune_every/--prune_num runs Taylor saliency accumulation +
+    scheduled pruning through the real CLI."""
+    root, csv = workspace
+    logdir = str(root / "log_taylor")
+    from spatialalignmentnetwork_tpu.engine import train as train_cli
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+    args = argparse.Namespace(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="taylor", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
+        net_scale="tiny", prune_every=2, prune_num=2,
+    )
+    train_cli.main(args)
+
+    best = os.path.join(logdir, "ckpt", "best.pt")
+    net = CSModel(ckpt=best)
+    # taylor starts unpruned (masks.py:195-213: pruning is trained in);
+    # the 2-volume/4-slice set gives 4 iters -> 2 prune rounds x 2 lines
+    pruned = int(np.asarray(net.state["pruned"]).sum())
+    assert pruned == 4, pruned
+    # the averaged saliency is surfaced as the mask weight (reference
+    # masks.py:228) and should be non-trivial
+    w = np.asarray(net.state["params"]["net_mask"]["weight"])
+    assert np.isfinite(w).all() and np.ptp(w) > 0
+
+
 def test_resume_from_latest(workspace):
     root, csv = workspace
     logdir = str(root / "log")
