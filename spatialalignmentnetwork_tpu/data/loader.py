@@ -98,6 +98,10 @@ class Loader:
             yield gbatch[lo : lo + self.batch_size]
 
     def _fetch(self, indices):
+        if hasattr(self.dataset, "batch"):
+            # native batch assembly (data.native_cache.NativePairedSlices):
+            # one OpenMP crop+complexify pass instead of per-item reads
+            return self.dataset.batch(np.asarray(indices))
         items = [self.dataset[int(i)] for i in indices]
         n_mod = len(items[0])
         return [np.stack([it[m] for it in items], axis=0) for m in range(n_mod)]

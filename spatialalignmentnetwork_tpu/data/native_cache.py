@@ -157,9 +157,19 @@ class NativePairedSlices:
     def batch(self, indices):
         return [c.batch(indices, self.crop) for c in self.caches]
 
+    def __getitem__(self, ind):
+        """Single item [modality...] of [C, crop, crop] — the same protocol
+        as the python paired datasets, so vis-batch indexing works."""
+        return [c.batch(np.asarray([ind]), self.crop)[0] for c in self.caches]
 
-def build_caches_from_csv(csv_path, protocals, out_dir):
-    """Compile a paired CSV manifest into one cache file per protocol."""
+
+def build_caches_from_csv(csv_path, protocals, out_dir, reuse=True):
+    """Compile a paired CSV manifest into one cache file per protocol.
+
+    reuse=True skips protocols whose cache file is newer than the CSV.
+    Writes go to a pid-suffixed temp file swapped in atomically, so
+    concurrent builders (multi-host training) never observe a torn cache.
+    """
     os.makedirs(out_dir, exist_ok=True)
     # resolve each protocol's volume file list via the python dataset layer
     basepath = os.path.dirname(os.path.abspath(csv_path))
@@ -176,6 +186,10 @@ def build_caches_from_csv(csv_path, protocals, out_dir):
     outs = []
     for p, vols in per_protocol.items():
         out = os.path.join(out_dir, f"cache_{p}.bin")
-        write_cache(vols, out)
+        if not (reuse and os.path.exists(out)
+                and os.path.getmtime(out) > os.path.getmtime(csv_path)):
+            tmp = f"{out}.tmp.{os.getpid()}"
+            write_cache(vols, tmp)
+            os.replace(tmp, out)
         outs.append(out)
     return outs

@@ -107,6 +107,31 @@ def test_train_cli_data_parallel(workspace):
     assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
 
 
+def test_train_cli_native_cache(workspace):
+    """--native_cache trains end-to-end from the C++ mmap slice caches
+    (VERDICT weak #4): the flagship input-pipeline win is reachable from
+    an actual training run, not just bench --mode input."""
+    root, csv = workspace
+    logdir = str(root / "log_nc")
+    from spatialalignmentnetwork_tpu.engine import train as train_cli
+
+    args = argparse.Namespace(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="Rec",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="PBSpline", prefetch=False, use_amp=False, force_gpu=True,
+        net_scale="tiny", native_cache=str(root / "nc"),
+    )
+    train_cli.main(args)
+    assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
+    # both split caches were compiled, one file per real protocol
+    for split in ("train", "val"):
+        d = str(root / "nc" / split)
+        assert sorted(os.listdir(d)) == ["cache_T1.bin", "cache_T2.bin"], d
+
+
 def test_train_cli_learn_mask_loupe(workspace):
     """--learn_mask drives LOUPE logit learning through the real CLI
     (VERDICT weak #6): the trained logits moved from their init and the
