@@ -366,6 +366,10 @@ def main():
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
     # default None: leave the SAN_TPU_FFT env setting (or 'auto') in
     # effect instead of silently clobbering it
+    p.add_argument("--planar", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="planar-NHWC VarNet cascade layout (auto: on for "
+                        "TPU backends)")
     p.add_argument("--fft", type=str, default=None,
                    choices=["auto", "xla", "matmul"])
     # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
@@ -410,8 +414,12 @@ def main():
     num_low = int(shape * sparsity * 0.32)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
+    planar = (
+        jax.default_backend() in ("tpu", "axon")
+        if args.planar == "auto" else args.planar == "on"
+    )
     net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
-                 pools=4, use_ref=True, dtype=dtype)
+                 pools=4, use_ref=True, planar=planar, dtype=dtype)
 
     from spatialalignmentnetwork_tpu.utils.transfer import to_device
 

@@ -99,6 +99,17 @@ class CSModel:
         self.net_T = SpatialTransformer(
             channels=coils, feat=t_layers[0], layers=t_layers, dtype=self.dtype
         )
+        # planar-NHWC cascade layout: numerically equivalent (tested to
+        # 2e-4) but skips per-cascade complex pack/unpack and NCHW<->NHWC
+        # transposes. auto -> on for TPU backends, off elsewhere (the
+        # planar DFT einsums only pay off where the matmul-DFT does).
+        import os as _os
+
+        planar = cfg.get(
+            "net_R_planar", _os.environ.get("SAN_TPU_PLANAR", "auto")
+        )
+        if planar == "auto":
+            planar = jax.default_backend() in ("tpu", "axon")
         self.net_R = VarNet(
             num_cascades=cfg.get("net_R_cascades", 8),
             sens_chans=cfg.get("net_R_sens_chans", 8),
@@ -106,6 +117,7 @@ class CSModel:
             chans=cfg.get("net_R_chans", 18),
             pools=cfg.get("net_R_pools", 4),
             use_ref=True,
+            planar=bool(planar),
             # remat defaults ON: without it the backward stores all 8
             # cascades' UNet activations in conv-padded layouts — measured
             # 49.5 GB at batch 8 on a 16 GB v5e (bench --mode train OOM);

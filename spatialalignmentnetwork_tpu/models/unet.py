@@ -92,6 +92,42 @@ def group_norm_2(x_nchw: jnp.ndarray, eps: float = 1e-6):
     return xn.reshape(b, c, h, w), mean, std
 
 
+def group_norm_2_nhwc(x: jnp.ndarray, eps: float = 1e-6):
+    """group_norm_2 for the planar-NHWC layout [N, H, W, 2C] (channels =
+    [re..., im...]). Identical statistics — each group is one half of the
+    channels over all spatial positions, unbiased std — without the NCHW
+    reshape round trip. Returns (normalized, mean [N,2], std [N,2])."""
+    n, h, w, k2 = x.shape
+    c = k2 // 2
+    g = x.reshape(n, h, w, 2, c)
+    mean = jnp.mean(g, axis=(1, 2, 4))
+    cnt = h * w * c
+    var = jnp.var(g, axis=(1, 2, 4)) * (cnt / (cnt - 1))
+    nz = var > 0
+    std = jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
+    xn = (g - mean[:, None, None, :, None]) / (
+        std[:, None, None, :, None] + eps
+    )
+    return xn.reshape(n, h, w, k2), mean, std
+
+
+def pad_to_16_nhwc(x_nhwc: jnp.ndarray):
+    """Center-pad the NHWC spatial axes (1, 2) to multiples of 16."""
+    _, h, w, _ = x_nhwc.shape
+    w_mult = ((w - 1) | 15) + 1
+    h_mult = ((h - 1) | 15) + 1
+    w_pad = ((w_mult - w) // 2, (w_mult - w) - (w_mult - w) // 2)
+    h_pad = ((h_mult - h) // 2, (h_mult - h) - (h_mult - h) // 2)
+    x = jnp.pad(x_nhwc, ((0, 0), h_pad, w_pad, (0, 0)))
+    return x, (h_pad, w_pad, h_mult, w_mult)
+
+
+def unpad_16_nhwc(x_nhwc, h_pad, w_pad, h_mult, w_mult):
+    return x_nhwc[
+        :, h_pad[0]: h_mult - h_pad[1], w_pad[0]: w_mult - w_pad[1], :
+    ]
+
+
 def pad_to_16(x_nchw: jnp.ndarray):
     """Center-pad H and W up to the next multiple of 16 (varnet.py:275-289)."""
     _, _, h, w = x_nchw.shape
@@ -126,8 +162,17 @@ class NormUnet(nn.Module):
     ref_prenormalized: bool = False
     dtype: Any = jnp.float32
 
+    # planar=True switches the module to the planar-NHWC layout: __call__
+    # takes/returns REAL [N, H, W, 2*chans] pairs (channels [re..., im...])
+    # and the ref as NHWC [N, H, W, 1]. Same parameters, same math — the
+    # complex pack/unpack and both NCHW<->NHWC transposes disappear from
+    # the per-cascade hot path (the Unet is NHWC-native anyway).
+    planar: bool = False
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, ref: Optional[jnp.ndarray] = None):
+        if self.planar:
+            return self._planar_forward(x, ref)
         assert x.ndim == 4 and jnp.iscomplexobj(x)
         assert x.shape[1] == self.in_chans
 
@@ -162,3 +207,33 @@ class NormUnet(nn.Module):
         out = x[:, :c] + 1j * x[:, c:]
         assert out.shape[1] == self.out_chans
         return out
+
+    def _planar_forward(self, x, ref):
+        assert x.ndim == 4 and not jnp.iscomplexobj(x)
+        assert x.shape[-1] == 2 * self.in_chans
+
+        x, mean, std = group_norm_2_nhwc(x)
+        x, pad_sizes = pad_to_16_nhwc(x)
+
+        if self.use_ref:
+            assert ref is not None and ref.shape[-1] == 1
+            if not self.ref_prenormalized:
+                ref = instance_norm(ref)
+                ref, _ = pad_to_16_nhwc(ref)
+            x = jnp.concatenate([x, ref], axis=-1)
+        else:
+            assert ref is None
+
+        x = Unet(
+            out_chans=self.out_chans * 2,
+            chans=self.chans,
+            num_pool_layers=self.num_pools,
+            dtype=self.dtype,
+        )(x)
+
+        x = unpad_16_nhwc(x, *pad_sizes)
+        n, h, w, k2 = x.shape
+        x = x.reshape(n, h, w, 2, k2 // 2) * std[:, None, None, :, None] + (
+            mean[:, None, None, :, None]
+        )
+        return x.reshape(n, h, w, k2)

@@ -22,9 +22,11 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.fft import fft2, ifft2, rss
+from ..ops.fft import (
+    fft2, ifft2, rss, fft2_planar, ifft2_planar, rss_planar,
+)
 from .layers import instance_norm, nchw_to_nhwc, nhwc_to_nchw
-from .unet import NormUnet, pad_to_16
+from .unet import NormUnet, pad_to_16, pad_to_16_nhwc
 
 
 def acs_mask(width: int, num_low_frequencies: int, dtype=jnp.float32):
@@ -37,16 +39,67 @@ def acs_mask(width: int, num_low_frequencies: int, dtype=jnp.float32):
     return jnp.roll(m, (-num_low_frequencies) // 2)
 
 
+# ---------------------------------------------------------- planar helpers
+# The planar layout carries k-space/images as REAL NHWC [N, H, W, 2C]
+# (channels [re_0..re_{C-1}, im_0..im_{C-1}]) through the whole cascade:
+# the DFT matmuls, convs, norms and data consistency all operate on the
+# pair directly, so no complex intermediates or NCHW<->NHWC transposes are
+# materialized per cascade (PERF.md "complex-as-planar" lever).
+def complex_to_planar(x_nchw: jnp.ndarray) -> jnp.ndarray:
+    """[N, C, H, W] complex -> [N, H, W, 2C] real planar."""
+    m = jnp.moveaxis(x_nchw, 1, -1)  # [N, H, W, C] complex
+    return jnp.concatenate([m.real, m.imag], axis=-1)
+
+
+def planar_to_complex(x: jnp.ndarray) -> jnp.ndarray:
+    """[N, H, W, 2C] real planar -> [N, C, H, W] complex."""
+    import jax
+
+    c = x.shape[-1] // 2
+    re = jnp.moveaxis(x[..., :c], -1, 1)
+    im = jnp.moveaxis(x[..., c:], -1, 1)
+    return jax.lax.complex(re, im)
+
+
+def _planar_cmul(ar, ai, br, bi):
+    """(ar + i ai) * (br + i bi) -> (re, im)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def sens_reduce_planar(k_planar, sens_planar):
+    """S* F^-1 k, summed over coils: [N,H,W,2C] x [N,H,W,2C] -> [N,H,W,2]."""
+    c = k_planar.shape[-1] // 2
+    yr, yi = k_planar[..., :c], k_planar[..., c:]
+    sr, si = sens_planar[..., :c], sens_planar[..., c:]
+    re, im = _planar_cmul(yr, yi, sr, -si)  # y * conj(s)
+    return jnp.concatenate(
+        [jnp.sum(re, -1, keepdims=True), jnp.sum(im, -1, keepdims=True)],
+        axis=-1,
+    )
+
+
+def sens_expand_planar(img_planar, sens_planar):
+    """x * S per coil: [N,H,W,2] x [N,H,W,2C] -> [N,H,W,2C]."""
+    c = sens_planar.shape[-1] // 2
+    xr, xi = img_planar[..., :1], img_planar[..., 1:]
+    sr, si = sens_planar[..., :c], sens_planar[..., c:]
+    re, im = _planar_cmul(xr, xi, sr, si)
+    return jnp.concatenate([re, im], axis=-1)
+
+
 class SensitivityModel(nn.Module):
     """Estimate coil sensitivity maps from the ACS region of masked k-space
     (reference varnet.py:335-420)."""
 
     chans: int
     num_pools: int
+    planar: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, masked_kspace: jnp.ndarray, num_low_frequencies: int):
+        if self.planar:
+            return self._planar_forward(masked_kspace, num_low_frequencies)
         n, c, h, w = masked_kspace.shape
         m = acs_mask(w, num_low_frequencies)
         acs_kspace = masked_kspace * m[None, None, None, :]
@@ -57,6 +110,28 @@ class SensitivityModel(nn.Module):
         sens = sens.reshape(n, c, h, w)
         return sens / (rss(sens) + 1e-6)
 
+    def _planar_forward(self, k_planar, num_low_frequencies):
+        """Planar layout: k [N, H, W, 2C] -> sens maps [N, H, W, 2C]."""
+        n, h, w, k2 = k_planar.shape
+        c = k2 // 2
+        m = acs_mask(w, num_low_frequencies)
+        acs = ifft2_planar(k_planar * m[None, None, :, None])
+        if c == 1:
+            batched = acs
+        else:
+            # fold coils into the batch (one transpose; sens runs once)
+            re = jnp.moveaxis(acs[..., :c], -1, 1).reshape(n * c, h, w, 1)
+            im = jnp.moveaxis(acs[..., c:], -1, 1).reshape(n * c, h, w, 1)
+            batched = jnp.concatenate([re, im], axis=-1)
+        sens = NormUnet(
+            self.chans, self.num_pools, planar=True, dtype=self.dtype
+        )(batched)
+        if c > 1:
+            re = jnp.moveaxis(sens[..., 0].reshape(n, c, h, w), 1, -1)
+            im = jnp.moveaxis(sens[..., 1].reshape(n, c, h, w), 1, -1)
+            sens = jnp.concatenate([re, im], axis=-1)
+        return sens / (rss_planar(sens) + 1e-6)
+
 
 class VarNetBlock(nn.Module):
     """One unrolled cascade: k <- k - soft_dc - F S refine(S* F^-1 k)
@@ -65,10 +140,27 @@ class VarNetBlock(nn.Module):
     chans: int
     pools: int
     use_ref: bool
+    planar: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, current_kspace, ref_kspace, mask, sens_maps, ref_image):
+        if self.planar:
+            # identical math on the planar pair: no complex intermediates,
+            # no layout transposes inside the cascade
+            image = sens_reduce_planar(
+                ifft2_planar(current_kspace), sens_maps
+            )
+            image = NormUnet(
+                self.chans, self.pools, use_ref=self.use_ref,
+                ref_prenormalized=True, planar=True, dtype=self.dtype,
+            )(image, ref_image if self.use_ref else None)
+            model_term = fft2_planar(sens_expand_planar(image, sens_maps))
+            dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
+            soft_dc = jnp.where(
+                mask, current_kspace - ref_kspace, 0.0
+            ) * dc_weight
+            return current_kspace - soft_dc - model_term
         # refinement through the regularizer U-Net in image space
         image = jnp.sum(
             ifft2(current_kspace) * jnp.conj(sens_maps), axis=1, keepdims=True
@@ -98,10 +190,19 @@ class VarNet(nn.Module):
     pools: int = 4
     use_ref: bool = False
     remat: bool = False  # rematerialize cascade bodies (training memory)
+    # planar=True runs the whole cascade in the planar-NHWC layout (same
+    # parameters, same math): complex<->planar conversion happens exactly
+    # once at each boundary instead of per cascade. The external API is
+    # unchanged (complex NCHW in, real NCHW out).
+    planar: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, masked_kspace, mask, ref, num_low_frequencies):
+        if self.planar:
+            return self._planar_forward(
+                masked_kspace, mask, ref, num_low_frequencies
+            )
         sens_maps = SensitivityModel(
             self.sens_chans, self.sens_pools, dtype=self.dtype
         )(masked_kspace, num_low_frequencies)
@@ -142,3 +243,50 @@ class VarNet(nn.Module):
             (),
         )
         return rss(ifft2(kspace_pred))
+
+    def _planar_forward(self, masked_kspace, mask, ref, num_low_frequencies):
+        if jnp.iscomplexobj(masked_kspace):
+            k_planar = complex_to_planar(masked_kspace)
+        else:
+            # already-planar input ([N, H, W, 2C]) for fully-planar callers
+            k_planar = masked_kspace
+
+        sens_maps = SensitivityModel(
+            self.sens_chans, self.sens_pools, planar=True, dtype=self.dtype
+        )(k_planar, num_low_frequencies)
+
+        if self.use_ref:
+            ref = rss(ref)  # [N, 1, H, W]
+            ref = instance_norm(nchw_to_nhwc(ref))  # [N, H, W, 1]
+            ref, _ = pad_to_16_nhwc(ref)
+        else:
+            ref = None
+
+        if mask.ndim == 1:
+            mask_p = mask[None, None, :, None]
+        else:  # [..., W] broadcastable NCHW bool -> NHWC position
+            mask_p = jnp.reshape(mask, mask.shape[-1:])[None, None, :, None]
+
+        def body(block, kspace_pred, _):
+            out = block(kspace_pred, k_planar, mask_p, sens_maps, ref)
+            return out, ()
+
+        if self.remat:
+            body = nn.remat(body, prevent_cse=False)
+
+        scan = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.num_cascades,
+        )
+        kspace_pred, _ = scan(
+            VarNetBlock(
+                self.chans, self.pools, self.use_ref, planar=True,
+                dtype=self.dtype,
+            ),
+            k_planar,
+            (),
+        )
+        out = rss_planar(ifft2_planar(kspace_pred))  # [N, H, W, 1]
+        return nhwc_to_nchw(out)

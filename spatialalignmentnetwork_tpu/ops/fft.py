@@ -114,6 +114,71 @@ def _dft2(x, inverse):
     return jax.lax.complex(rr, ri)
 
 
+def _dft2_planar(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Planar-NHWC orthonormal 2-D DFT.
+
+    x: REAL [N, H, W, 2C] with channels [re_0..re_{C-1}, im_0..im_{C-1}]
+    (the planar VarNet carry layout). Same math as _dft2 but without the
+    complex pack/unpack at the boundary: the four real matmuls per axis
+    read and write the planar pair directly, so a planar caller never
+    materializes complex intermediates.
+    """
+    n, h, w, k2 = x.shape
+    c = k2 // 2
+    a, b = x[..., :c], x[..., c:]
+    whr, whi = _dft_matrix(h, inverse)
+    wwr, wwi = _dft_matrix(w, inverse)
+    prec = (jax.lax.Precision.HIGHEST
+            if _FFT_MATMUL_PRECISION == "highest"
+            else jax.lax.Precision.HIGH)
+
+    def mm_h(u, m):  # H axis: sum_h m[k, h] u[n, h, w, c]
+        return jnp.einsum("kh,nhwc->nkwc", m, u, precision=prec)
+
+    ar = mm_h(a, whr) - mm_h(b, whi)
+    ai = mm_h(a, whi) + mm_h(b, whr)
+
+    def mm_w(u, m):  # W axis (DFT matrices are symmetric)
+        return jnp.einsum("nkwc,wl->nklc", u, m, precision=prec)
+
+    rr = mm_w(ar, wwr) - mm_w(ai, wwi)
+    ri = mm_w(ar, wwi) + mm_w(ai, wwr)
+    return jnp.concatenate([rr, ri], axis=-1)
+
+
+def fft2_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 2-D FFT of a planar-NHWC pair [N, H, W, 2C] (H, W are
+    axes 1 and 2). Falls back through complex jnp.fft off-TPU."""
+    assert x.ndim == 4 and not jnp.iscomplexobj(x)
+    if _use_matmul(x.shape[1], x.shape[2]):
+        return _dft2_planar(x, inverse=False)
+    return _planar_via_complex(x, jnp.fft.fft2)
+
+
+def ifft2_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormal 2-D inverse FFT of a planar-NHWC pair [N, H, W, 2C]."""
+    assert x.ndim == 4 and not jnp.iscomplexobj(x)
+    if _use_matmul(x.shape[1], x.shape[2]):
+        return _dft2_planar(x, inverse=True)
+    return _planar_via_complex(x, jnp.fft.ifft2)
+
+
+def _planar_via_complex(x, fft_fn):
+    c = x.shape[-1] // 2
+    z = jax.lax.complex(x[..., :c], x[..., c:])
+    z = fft_fn(z, axes=(1, 2), norm="ortho")
+    return jnp.concatenate([z.real, z.imag], axis=-1)
+
+
+def rss_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """Root-sum-of-squares over coils of a planar-NHWC pair [N, H, W, 2C]
+    -> [N, H, W, 1], with the same zero-gradient-at-zero guard as rss."""
+    assert x.ndim == 4
+    s = jnp.sum(x * x, axis=-1, keepdims=True)
+    nonzero = s > 0
+    return jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, s, 1.0)), 0.0)
+
+
 def fft2(x: jnp.ndarray) -> jnp.ndarray:
     """Orthonormal 2-D FFT over the last two axes. x: [N, C, H, W] complex."""
     assert x.ndim == 4

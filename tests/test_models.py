@@ -97,6 +97,60 @@ def test_varnet_forward_and_grad():
     assert dc.shape[0] == 2
 
 
+def test_varnet_planar_matches_standard():
+    """The planar-NHWC cascade (layout-only redesign, PERF.md lever) is
+    numerically equivalent to the standard complex path with the SAME
+    parameters — forward and gradient."""
+    kw = dict(num_cascades=2, sens_chans=2, sens_pools=2, chans=4, pools=2,
+              use_ref=True)
+    net_std = VarNet(**kw)
+    net_pl = VarNet(planar=True, **kw)
+    k = jnp.asarray(_randc((2, 1, 32, 32), 5))
+    mask = jnp.asarray(np.random.default_rng(6).random(32) > 0.5)
+    ref = jnp.asarray(np.abs(_rand((2, 1, 32, 32), 7)))
+
+    params = net_std.init(jax.random.PRNGKey(0), k, mask, ref, 4)
+    params_pl = net_pl.init(jax.random.PRNGKey(0), k, mask, ref, 4)
+    # identical parameter trees: checkpoints cross-load freely
+    assert jax.tree_util.tree_structure(params) == (
+        jax.tree_util.tree_structure(params_pl)
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_pl)):
+        assert a.shape == b.shape
+
+    want = net_std.apply(params, k, mask, ref, 4)
+    got = net_pl.apply(params, k, mask, ref, 4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+    def loss(fn, p, r):
+        return jnp.sum(fn.apply(p, k, mask, r, 4) ** 2)
+
+    g_std = jax.grad(lambda r: loss(net_std, params, r))(ref)
+    g_pl = jax.grad(lambda r: loss(net_pl, params, r))(ref)
+    np.testing.assert_allclose(
+        np.asarray(g_pl), np.asarray(g_std), rtol=2e-3, atol=2e-4
+    )
+
+
+def test_varnet_planar_multicoil():
+    """Planar coil folding (C>1) matches the standard path."""
+    kw = dict(num_cascades=1, sens_chans=2, sens_pools=2, chans=4, pools=2,
+              use_ref=False)
+    net_std = VarNet(**kw)
+    net_pl = VarNet(planar=True, **kw)
+    k = jnp.asarray(_randc((2, 3, 32, 32), 9))
+    mask = jnp.asarray(np.random.default_rng(1).random(32) > 0.4)
+    params = net_std.init(jax.random.PRNGKey(2), k, mask, None, 4)
+    want = net_std.apply(params, k, mask, None, 4)
+    got = net_pl.apply(params, k, mask, None, 4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
 @pytest.mark.slow
 def test_varnet_use_ref_false():
     net = VarNet(num_cascades=1, sens_chans=2, sens_pools=2, chans=4, pools=2,
