@@ -113,6 +113,145 @@ def _forward(I, J, bins, sigma, minv, maxv, interpret):
     return jnp.mean(out[:, 0, 0])
 
 
+def _mi_bwd_kernel(i_ref, j_ref, di_ref, dj_ref, *, m, bins, sigma,
+                   minv, maxv):
+    """Closed-form MI gradient, fused and chunk-streamed (round 3).
+
+    Pass 1 re-accumulates the marginal sums and the [B, B] joint Gram
+    (identical to the forward — cheap relative to an HBM round trip of
+    the [B, M] response matrices). From those, the per-bin entropy weight
+    vectors w and the joint coefficient matrix EQ are tiny [B]/[B, B]
+    arrays. Pass 2 re-streams the pixels: for each chunk
+
+        dL/dp_I = -w_I/m + (EQ @ p_J)/Z2          (and transposed for J)
+        dL/dv_i = (sum_a dL*p*c_a - v_i sum_a dL*p) / sigma^2
+
+    so the full-size response matrices still never exist in HBM.
+    """
+    m_padded = i_ref.shape[2]
+    n_chunks = m_padded // _CHUNK
+
+    centers = (
+        jax.lax.broadcasted_iota(jnp.int32, (bins, 1), 0).astype(jnp.float32)
+        * ((maxv - minv) / (bins - 1))
+        + minv
+    )  # [B, 1]
+    norm1d = math.sqrt(2.0 * math.pi) * sigma
+    inv_two_sigma2 = 1.0 / (2.0 * sigma * sigma)
+    inv_sigma2 = 1.0 / (sigma * sigma)
+
+    def responses(vals_chunk):
+        d = vals_chunk - centers
+        return jnp.exp(-(d * d) * inv_two_sigma2) / norm1d
+
+    def body(c, carry):
+        s_i, s_j, joint = carry
+        sl = pl.ds(c * _CHUNK, _CHUNK)
+        pi = responses(i_ref[0, :, sl])
+        pj = responses(j_ref[0, :, sl])
+        s_i = s_i + jnp.sum(pi, axis=1, keepdims=True)
+        s_j = s_j + jnp.sum(pj, axis=1, keepdims=True)
+        joint = joint + jax.lax.dot_general(
+            pi, pj, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return s_i, s_j, joint
+
+    init = (
+        jnp.zeros((bins, 1), jnp.float32),
+        jnp.zeros((bins, 1), jnp.float32),
+        jnp.zeros((bins, bins), jnp.float32),
+    )
+    s_i, s_j, joint = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    # d(ent)/d(s_b) = w_b / m for a marginal built as pn = (s/m)/T
+    def marg_w(s):
+        u = s / m
+        T = jnp.sum(u) + 1e-10
+        pn = u / T
+        lc = jnp.log(pn + 1e-10) + pn / (pn + 1e-10)
+        return -(lc - jnp.sum(lc * pn)) / T  # [B, 1]
+
+    w_i = marg_w(s_i)
+    w_j = marg_w(s_j)
+    norm2d = 2.0 * math.pi * sigma * sigma
+    G = joint / norm2d
+    Sg = jnp.sum(G) + 1e-10
+    q = G / Sg
+    lq = jnp.log(q + 1e-10) + q / (q + 1e-10)
+    # dL/dG for L = ... + ent_joint (the loss's joint term enters with +)
+    EQ = -(lq - jnp.sum(lq * q)) / Sg  # [B, B]
+
+    def body2(c, _):
+        sl = pl.ds(c * _CHUNK, _CHUNK)
+        vi = i_ref[0, :, sl]  # [1, K]
+        vj = j_ref[0, :, sl]
+        pi = responses(vi)
+        pj = responses(vj)
+        dLdpI = (-w_i / m) + jax.lax.dot_general(
+            EQ, pj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / norm2d
+        dLdpJ = (-w_j / m) + jax.lax.dot_general(
+            EQ, pi, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / norm2d
+
+        def pixel_grad(dLdp, p, v):
+            A = dLdp * p  # [B, K]
+            sum_a = jnp.sum(A, axis=0, keepdims=True)  # [1, K]
+            c_a = jax.lax.dot_general(
+                centers, A, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [1, K]
+            return (c_a - v * sum_a) * inv_sigma2
+
+        di_ref[0, :, sl] = pixel_grad(dLdpI, pi, vi)
+        dj_ref[0, :, sl] = pixel_grad(dLdpJ, pj, vj)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body2, 0)
+
+
+def _backward(I, J, bins, sigma, minv, maxv, interpret):
+    n = I.shape[0]
+    m = 1
+    for d in I.shape[1:]:
+        m *= d
+    m_padded = ((m + _CHUNK - 1) // _CHUNK) * _CHUNK
+    flat_i = I.reshape(n, m).astype(jnp.float32)
+    flat_j = J.reshape(n, m).astype(jnp.float32)
+    if m_padded != m:
+        pad = jnp.full((n, m_padded - m), 1e6, jnp.float32)
+        flat_i = jnp.concatenate([flat_i, pad], axis=1)
+        flat_j = jnp.concatenate([flat_j, pad], axis=1)
+
+    kernel = functools.partial(
+        _mi_bwd_kernel, m=m, bins=bins, sigma=sigma, minv=minv, maxv=maxv
+    )
+    dI, dJ = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 1, m_padded), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, m_padded), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, m_padded), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, m_padded), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1, m_padded), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, m_padded), jnp.float32),
+        ],
+        interpret=interpret,
+    )(flat_i[:, None, :], flat_j[:, None, :])
+    return (
+        dI[:, 0, :m].reshape(I.shape),
+        dJ[:, 0, :m].reshape(J.shape),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def _mi_pallas(I, J, bins, sigma, minv, maxv, interpret):
     return _forward(I, J, bins, sigma, minv, maxv, interpret)
@@ -124,14 +263,10 @@ def _fwd(I, J, bins, sigma, minv, maxv, interpret):
 
 def _bwd(bins, sigma, minv, maxv, interpret, res, g):
     I, J = res
-    from ..mi import mi_loss as ref_mi
-
-    _, vjp = jax.vjp(
-        lambda a, b: ref_mi(a, b, bins=bins, sigma=sigma, minVal=minv,
-                            maxVal=maxv, impl="jnp"),
-        I, J,
-    )
-    return vjp(g)
+    dI, dJ = _backward(I, J, bins, sigma, minv, maxv, interpret)
+    # batch mean: per-sample gradients scale by upstream/N
+    scale = (g / I.shape[0]).astype(jnp.float32)
+    return (scale * dI).astype(I.dtype), (scale * dJ).astype(J.dtype)
 
 
 _mi_pallas.defvjp(_fwd, _bwd)

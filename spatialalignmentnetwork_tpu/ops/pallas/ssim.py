@@ -1,4 +1,4 @@
-"""Fused Pallas TPU kernel for the SSIM loss forward pass.
+"""Fused Pallas TPU kernels for the SSIM loss — forward AND backward.
 
 One program per (sample, channel) plane: both images live in VMEM and the
 five 7x7 window sums + the SSIM map + the reduction happen in a single
@@ -8,8 +8,23 @@ results; here the arithmetic intensity stays on-chip end to end).
 
 Window sums use separable static-shift adds (O(win) adds per axis on the
 VPU). Output is one partial sum per plane; the host-side wrapper reduces to
-the scalar loss 1 - mean(S). Backward via custom VJP over the closed-form
-jnp formulation (ops/ssim.py) — identical math, XLA-derived gradient.
+the scalar loss 1 - mean(S).
+
+The BACKWARD is the closed-form gradient fused into one kernel per plane
+(round-3; previously jax.vjp over the jnp formulation re-ran the forward
+in XLA every training step). With L = 1 - mean(S) over valid windows and
+per-window coefficients G_q = dS/d(u_q):
+
+    dL/dx_i = -g/(M*NP) * [box(G_ux) + 2 x_i box(G_uxx) + y_i box(G_uxy)]
+    dL/dy_i = -g/(M*NP) * [box(G_uy) + 2 y_i box(G_uyy) + x_i box(G_uxy)]
+
+where box() is the transposed (scatter) window sum — every pixel collects
+the coefficients of the windows containing it — computed with the same
+separable shift-add trick on the zero-padded coefficient maps. The five
+G maps come from re-running the (cheap, VPU-only) window-stat pass inside
+the same kernel, so the backward also never touches HBM between stages.
+Gradient parity vs the XLA autodiff of the jnp formulation is pinned to
+1e-4 in tests/test_pallas.py and on-chip in tests/test_pallas_tpu.py.
 """
 
 import functools
@@ -27,6 +42,23 @@ def _window_sum_valid(a, win):
     t = s[0 : h - win + 1, :]
     for di in range(1, win):
         t = t + s[di : h - win + 1 + di, :]
+    return t
+
+
+def _box_scatter(g, h, w, win):
+    """Transposed valid-window sum: g [h-win+1, w-win+1] -> [h, w] where
+    out[i, j] = sum of g over all windows containing (i, j)."""
+    gh, gw = g.shape
+    # pad to full width, then separable shift-adds with POSITIVE offsets
+    gp = jnp.pad(g, ((0, 0), (0, w - gw)))
+    s = gp
+    for dj in range(1, win):
+        # shift right by dj: zeros enter on the left
+        s = s + jnp.pad(gp, ((0, 0), (dj, 0)))[:, :w]
+    sp = jnp.pad(s, ((0, h - gh), (0, 0)))
+    t = sp
+    for di in range(1, win):
+        t = t + jnp.pad(sp, ((di, 0), (0, 0)))[:h, :]
     return t
 
 
@@ -78,6 +110,139 @@ def _forward(X, Y, win, k1, k2, data_range, interpret):
     return 1.0 - jnp.sum(sums[:, :, 0, 0]) / (n * c * valid)
 
 
+# ------------------------------------------------------------- backward
+# fori_loop shift-sums: constant VMEM footprint (a Python-unrolled shift
+# loop allocates a fresh canvas per iteration and Mosaic sums stack
+# allocations, which blows the 16 MB scoped-VMEM limit in the backward's
+# ~9 canvas-sized stages). The doubled buffer + dynamic_slice gives a
+# static slice size with a dynamic start.
+def _sum_shift_left_cols(a, win):
+    """out[i, j] = sum_{d=0..win-1} a[i, j+d] (zero past the edge)."""
+    h, w = a.shape
+    buf = jnp.concatenate([a, jnp.zeros_like(a)], axis=1)
+
+    def body(d, acc):
+        return acc + jax.lax.dynamic_slice(buf, (0, d), (h, w))
+
+    return jax.lax.fori_loop(1, win, body, a)
+
+
+def _sum_shift_left_rows(a, win):
+    h, w = a.shape
+    buf = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
+
+    def body(d, acc):
+        return acc + jax.lax.dynamic_slice(buf, (d, 0), (h, w))
+
+    return jax.lax.fori_loop(1, win, body, a)
+
+
+def _sum_shift_right_cols(a, win):
+    h, w = a.shape
+    buf = jnp.concatenate([jnp.zeros_like(a), a], axis=1)
+
+    def body(d, acc):
+        return acc + jax.lax.dynamic_slice(buf, (0, w - d), (h, w))
+
+    return jax.lax.fori_loop(1, win, body, a)
+
+
+def _sum_shift_right_rows(a, win):
+    h, w = a.shape
+    buf = jnp.concatenate([jnp.zeros_like(a), a], axis=0)
+
+    def body(d, acc):
+        return acc + jax.lax.dynamic_slice(buf, (h - d, 0), (h, w))
+
+    return jax.lax.fori_loop(1, win, body, a)
+
+
+def _ssim_bwd_kernel(x_ref, y_ref, dx_ref, dy_ref, *, win, k1, k2,
+                     data_range, scale):
+    x = x_ref[0, 0].astype(jnp.float32)
+    y = y_ref[0, 0].astype(jnp.float32)
+    h, w = x.shape
+    NP = win * win
+    inv = 1.0 / NP
+    cn = NP / (NP - 1)
+    C1 = (k1 * data_range) ** 2
+    C2 = (k2 * data_range) ** 2
+
+    def wsum(a):  # full-canvas valid window sums (garbage past the edge)
+        return _sum_shift_left_rows(_sum_shift_left_cols(a, win), win)
+
+    ux = wsum(x) * inv
+    uy = wsum(y) * inv
+    uxx = wsum(x * x) * inv
+    uyy = wsum(y * y) * inv
+    uxy = wsum(x * y) * inv
+
+    vx = cn * (uxx - ux * ux)
+    vy = cn * (uyy - uy * uy)
+    vxy = cn * (uxy - ux * uy)
+    A1 = 2 * ux * uy + C1
+    A2 = 2 * vxy + C2
+    B1 = ux * ux + uy * uy + C1
+    B2 = vx + vy + C2
+    D = B1 * B2
+    S = (A1 * A2) / D
+    sA1 = A2 / D
+    sA2 = A1 / D
+    sB1 = -S / B1
+    sB2 = -S / B2
+
+    # per-window dS/du_q coefficient maps (chain rule through the five
+    # window means); masked to the valid-window region before scattering
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    m = ((ri < h - win + 1) & (ci < w - win + 1)).astype(jnp.float32)
+    G_ux = (sA1 * (2 * uy) + sA2 * (-2 * cn * uy)
+            + sB1 * (2 * ux) + sB2 * (-2 * cn * ux)) * m
+    G_uy = (sA1 * (2 * ux) + sA2 * (-2 * cn * ux)
+            + sB1 * (2 * uy) + sB2 * (-2 * cn * uy)) * m
+    G_uxy = (sA2 * (2 * cn)) * m
+    G_uvv = (sB2 * cn) * m  # dS/duxx == dS/duyy
+
+    def box(gmap):  # transposed window sum (scatter back over pixels)
+        return _sum_shift_right_rows(_sum_shift_right_cols(gmap, win), win)
+
+    b_ux = box(G_ux)
+    b_uy = box(G_uy)
+    b_xy = box(G_uxy)
+    b_vv = box(G_uvv)
+
+    dx_ref[0, 0] = (-scale) * (b_ux + 2.0 * x * b_vv + y * b_xy)
+    dy_ref[0, 0] = (-scale) * (b_uy + 2.0 * y * b_vv + x * b_xy)
+
+
+def _backward(X, Y, win, k1, k2, data_range, interpret):
+    n, c, h, w = X.shape
+    valid = (h - win + 1) * (w - win + 1)
+    scale = 1.0 / (n * c * valid * win * win)
+    kernel = functools.partial(
+        _ssim_bwd_kernel, win=win, k1=k1, k2=k2, data_range=data_range,
+        scale=scale,
+    )
+    dX, dY = pl.pallas_call(
+        kernel,
+        grid=(n, c),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(X, Y)
+    return dX, dY
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _ssimloss_pallas(X, Y, interpret):
     return _forward(X, Y, 7, 0.01, 0.03, 1.0, interpret)
@@ -89,11 +254,9 @@ def _fwd(X, Y, interpret):
 
 def _bwd(interpret, res, g):
     X, Y = res
-    from ..ssim import ssimloss as ref_ssimloss
-
-    _, vjp = jax.vjp(lambda a, b: ref_ssimloss(a, b, impl="jnp"), X, Y)
-    dX, dY = vjp(g)
-    return dX, dY
+    dX, dY = _backward(X, Y, 7, 0.01, 0.03, 1.0, interpret)
+    g32 = g.astype(jnp.float32)
+    return (g32 * dX).astype(X.dtype), (g32 * dY).astype(Y.dtype)
 
 
 _ssimloss_pallas.defvjp(_fwd, _bwd)

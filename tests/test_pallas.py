@@ -117,8 +117,10 @@ def test_pallas_ssim_grad_matches_reference():
     from spatialalignmentnetwork_tpu.ops.ssim import ssimloss
 
     rng = np.random.default_rng(8)
-    X = jnp.asarray(rng.random((1, 1, 24, 24)).astype(np.float32))
-    Y = jnp.asarray(rng.random((1, 1, 24, 24)).astype(np.float32))
+    # batch > 1 and non-square: catches global-mean scaling and any
+    # h/w axis swap in the fused backward's scatter stage
+    X = jnp.asarray(rng.random((2, 1, 24, 32)).astype(np.float32))
+    Y = jnp.asarray(rng.random((2, 1, 24, 32)).astype(np.float32))
     gp = jax.grad(lambda a, b: ssimloss_pallas(a, b), argnums=(0, 1))(X, Y)
     gr = jax.grad(lambda a, b: ssimloss(a, b, impl="jnp"), argnums=(0, 1))(X, Y)
     for a, b in zip(gp, gr):
@@ -143,8 +145,8 @@ def test_pallas_lncc_grad_matches_reference():
     from spatialalignmentnetwork_tpu.ops.lncc import lncc_loss
 
     rng = np.random.default_rng(10)
-    I = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
-    J = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    I = jnp.asarray(rng.random((2, 1, 16, 24)).astype(np.float32))
+    J = jnp.asarray(rng.random((2, 1, 16, 24)).astype(np.float32))
     gp = jax.grad(lambda a, b: lncc_loss_pallas(a, b), argnums=(0, 1))(I, J)
     gr = jax.grad(lambda a, b: lncc_loss(a, b, impl="jnp"), argnums=(0, 1))(I, J)
     for a, b in zip(gp, gr):
@@ -172,8 +174,8 @@ def test_pallas_mi_grad_matches_reference():
     from spatialalignmentnetwork_tpu.ops.mi import mi_loss
 
     rng = np.random.default_rng(12)
-    I = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
-    J = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    I = jnp.asarray(rng.random((2, 1, 16, 24)).astype(np.float32))
+    J = jnp.asarray(rng.random((2, 1, 16, 24)).astype(np.float32))
     gp = jax.grad(lambda a, b: mi_loss_pallas(a, b), argnums=(0, 1))(I, J)
     gr = jax.grad(lambda a, b: mi_loss(a, b, impl="jnp"), argnums=(0, 1))(I, J)
     for a, b in zip(gp, gr):

@@ -73,6 +73,24 @@ out["mi"] = abs(
     float(jax.jit(mi_loss_pallas)(a, b))
     - float(jax.jit(lambda a, b: mi_loss(a, b, impl="jnp"))(a, b))
 )
+
+# fused BACKWARD kernels (round 3): Mosaic-compiled closed-form gradients
+# vs XLA autodiff of the jnp formulations, relative max-diff
+for name, ploss, jloss in (
+    ("ssim_grad", ssimloss_pallas,
+     lambda x, y: ssimloss(x, y, impl="jnp")),
+    ("lncc_grad", lncc_loss_pallas,
+     lambda x, y: lncc_loss(x, y, impl="jnp")),
+    ("mi_grad", mi_loss_pallas,
+     lambda x, y: mi_loss(x, y, impl="jnp")),
+):
+    gp = jax.jit(jax.grad(ploss, argnums=(0, 1)))(a, b)
+    gj = jax.jit(jax.grad(jloss, argnums=(0, 1)))(a, b)
+    rel = max(
+        float(jnp.max(jnp.abs(p - j))) / (float(jnp.max(jnp.abs(j))) + 1e-30)
+        for p, j in zip(gp, gj)
+    )
+    out[name] = rel
 print(json.dumps(out))
 """
 
