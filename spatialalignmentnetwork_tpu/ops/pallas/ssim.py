@@ -111,50 +111,45 @@ def _forward(X, Y, win, k1, k2, data_range, interpret):
 
 
 # ------------------------------------------------------------- backward
-# fori_loop shift-sums: constant VMEM footprint (a Python-unrolled shift
-# loop allocates a fresh canvas per iteration and Mosaic sums stack
-# allocations, which blows the 16 MB scoped-VMEM limit in the backward's
-# ~9 canvas-sized stages). The doubled buffer + dynamic_slice gives a
-# static slice size with a dynamic start.
+# Window sums and their transposed scatters as BANDED-ONES matmuls: a
+# Python-unrolled shift loop allocates a canvas per iteration and Mosaic
+# sums stack allocations (blowing the 16 MB scoped-VMEM limit across the
+# backward's ~9 canvas-sized stages), and Mosaic has no in-register
+# dynamic_slice for a fori_loop variant. out = a @ Band (or Band @ a)
+# with Band[k, j] = 1 iff k-j in [0, win) is Mosaic-native, runs on the
+# MXU, and its live set is one [n, n] matrix + one canvas regardless of
+# win. The extra MACs vs the shift formulation are MXU-cheap.
+def _band(n, win, flip):
+    ki = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    ji = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    d = (ji - ki) if flip else (ki - ji)
+    return jnp.logical_and(d >= 0, d < win).astype(jnp.float32)
+
+
+def _bandmul(a, m):
+    return jnp.dot(
+        a, m,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _sum_shift_left_cols(a, win):
     """out[i, j] = sum_{d=0..win-1} a[i, j+d] (zero past the edge)."""
-    h, w = a.shape
-    buf = jnp.concatenate([a, jnp.zeros_like(a)], axis=1)
-
-    def body(d, acc):
-        return acc + jax.lax.dynamic_slice(buf, (0, d), (h, w))
-
-    return jax.lax.fori_loop(1, win, body, a)
+    return _bandmul(a, _band(a.shape[1], win, flip=False))
 
 
 def _sum_shift_left_rows(a, win):
-    h, w = a.shape
-    buf = jnp.concatenate([a, jnp.zeros_like(a)], axis=0)
-
-    def body(d, acc):
-        return acc + jax.lax.dynamic_slice(buf, (d, 0), (h, w))
-
-    return jax.lax.fori_loop(1, win, body, a)
+    return _bandmul(_band(a.shape[0], win, flip=True), a)
 
 
 def _sum_shift_right_cols(a, win):
-    h, w = a.shape
-    buf = jnp.concatenate([jnp.zeros_like(a), a], axis=1)
-
-    def body(d, acc):
-        return acc + jax.lax.dynamic_slice(buf, (0, w - d), (h, w))
-
-    return jax.lax.fori_loop(1, win, body, a)
+    """out[i, j] = sum_{d=0..win-1} a[i, j-d] — the transposed scatter."""
+    return _bandmul(a, _band(a.shape[1], win, flip=True))
 
 
 def _sum_shift_right_rows(a, win):
-    h, w = a.shape
-    buf = jnp.concatenate([jnp.zeros_like(a), a], axis=0)
-
-    def body(d, acc):
-        return acc + jax.lax.dynamic_slice(buf, (h - d, 0), (h, w))
-
-    return jax.lax.fori_loop(1, win, body, a)
+    return _bandmul(_band(a.shape[0], win, flip=False), a)
 
 
 def _ssim_bwd_kernel(x_ref, y_ref, dx_ref, dy_ref, *, win, k1, k2,
