@@ -810,11 +810,15 @@ class CSModel:
         self.state, aux = self._step_cache[key](self.state, *self._batch, sub)
         self._aux = aux
 
-    def test(self, valid=None):
+    def test(self, valid=None, sync=True):
         """Eval step. valid: optional float/bool [N] slice-validity vector
         for bucketed (padded) batches — pad slices are masked out of every
         reported scalar. A dynamic input: volumes with different slice
-        counts padded to the same bucket share one compiled step."""
+        counts padded to the same bucket share one compiled step.
+
+        sync=False dispatches the step and returns None without a host
+        readback — callers pipelining volumes (eval.py) read the previous
+        volume's scalars while this one computes."""
         assert not self.training
         masked = valid is not None
         key = ("test", self._batch[0].shape, masked)
@@ -825,6 +829,8 @@ class CSModel:
         extra = (jnp.asarray(valid),) if masked else ()
         aux = dict(self._step_cache[key](self.state, *self._batch, *extra))
         self._aux = aux
+        if not sync:
+            return None
         if self.cfg.reg == "GAN-Only":
             return -float(aux["metric_MI"])
         return -float(aux["metric_PSNR"])

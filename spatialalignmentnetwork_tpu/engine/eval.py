@@ -118,7 +118,9 @@ def main(args):
     rng = jax.random.PRNGKey(int(time.time()))
     bucket = int(getattr(args, "bucket", 16) or 0)
     stat_eval = []
-    for i, volume in enumerate(volumes):
+
+    def stage(volume):
+        """Host stack + bucket pad + async H2D for one volume."""
         host_batch = [
             np.stack(s, axis=0)
             for s in zip(*[volume[j] for j in range(len(volume))])
@@ -130,23 +132,19 @@ def main(args):
             host_batch, valid, restore = _bucket_pad(host_batch, bucket)
         else:
             valid, restore = None, np.arange(host_batch[0].shape[0])
-        batch = [to_device(x) for x in host_batch]
-        if args.aux_aug > 0:
-            img_full, img_aux = batch
-            rng, k = jax.random.split(rng)
-            img_aux = scaled_deformation(k, img_aux, args.aux_aug)
-            batch = [
-                center_crop(x, (cfg.shape, cfg.shape))
-                for x in (img_full, img_aux)
-            ]
-        net.set_input(*batch)
-        net.test(valid=valid)
-        vis = net.get_vis("scalars")
-        stat_eval.append(vis["scalars"])
-        print(f"volume {i}: " + str({k: round(v, 4) for k, v in vis["scalars"].items()}))
+        return [to_device(x) for x in host_batch], valid, restore
+
+    def collect(i, aux, restore):
+        """Host readbacks for a volume whose step was already dispatched."""
+        scalars = {
+            k: float(v) for k, v in aux.items()
+            if k.startswith("loss_") or k.startswith("metric_")
+        }
+        stat_eval.append(scalars)
+        print(f"volume {i}: "
+              + str({k: round(v, 4) for k, v in scalars.items()}))
         if args.save is None:
-            continue
-        aux = net._aux
+            return
         grid = np.asarray(aux["img_offset"])[restore]  # [S, H, W, 2]
         grid = np.stack(
             [grid[..., 0], grid[..., 1], np.zeros_like(grid[..., 0])], axis=-1
@@ -162,6 +160,31 @@ def main(args):
         ):
             vol = np.asarray(aux[key])[restore][:, 0]  # [S, H, W]
             _save_volume(vol, f"{args.save}/{i}_{name}.nii", affine)
+
+    # double-buffered volume loop: volume i+1 is staged (host prep + async
+    # device transfer) and dispatched before volume i's scalars are read
+    # back, so H2D and the host readbacks overlap device compute
+    pending = None
+    staged = stage(volumes[0]) if volumes else None
+    for i, volume in enumerate(volumes):
+        batch, valid, restore = staged
+        staged = stage(volumes[i + 1]) if i + 1 < len(volumes) else None
+        if args.aux_aug > 0:
+            img_full, img_aux = batch
+            rng, k = jax.random.split(rng)
+            img_aux = scaled_deformation(k, img_aux, args.aux_aug)
+            batch = [
+                center_crop(x, (cfg.shape, cfg.shape))
+                for x in (img_full, img_aux)
+            ]
+        net.set_input(*batch)
+        net.test(valid=valid, sync=False)
+        aux = net._aux
+        if pending is not None:
+            collect(*pending)
+        pending = (i, aux, restore)
+    if pending is not None:
+        collect(*pending)
 
     # raise BEFORE writing the metrics file: a misconfigured --val must not
     # leave behind a present-but-empty artifact for drivers that only read
