@@ -368,8 +368,9 @@ def main():
     # effect instead of silently clobbering it
     p.add_argument("--planar", type=str, default="auto",
                    choices=["auto", "on", "off"],
-                   help="planar-NHWC VarNet cascade layout (auto: on for "
-                        "TPU backends)")
+                   help="planar-NHWC VarNet cascade layout (auto: off — "
+                        "measured 8%% slower than the complex-NCHW path at "
+                        "b128 on the v5e, docs/perf_ab_r03.jsonl)")
     p.add_argument("--fft", type=str, default=None,
                    choices=["auto", "xla", "matmul"])
     # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
@@ -414,10 +415,7 @@ def main():
     num_low = int(shape * sparsity * 0.32)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    planar = (
-        jax.default_backend() in ("tpu", "axon")
-        if args.planar == "auto" else args.planar == "on"
-    )
+    planar = False if args.planar == "auto" else args.planar == "on"
     net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
                  pools=4, use_ref=True, planar=planar, dtype=dtype)
 

@@ -100,16 +100,18 @@ class CSModel:
             channels=coils, feat=t_layers[0], layers=t_layers, dtype=self.dtype
         )
         # planar-NHWC cascade layout: numerically equivalent (tested to
-        # 2e-4) but skips per-cascade complex pack/unpack and NCHW<->NHWC
-        # transposes. auto -> on for TPU backends, off elsewhere (the
-        # planar DFT einsums only pay off where the matmul-DFT does).
+        # 2e-4) and skips per-cascade complex pack/unpack and NCHW<->NHWC
+        # transposes — but MEASURED SLOWER on the v5e (338 vs 369 slices/s
+        # serving b128, docs/perf_ab_r03.jsonl: the [N,H,W,2] trailing
+        # 2-wide lane dim tiles poorly). auto -> off everywhere; kept as an
+        # opt-in for backends where the layout trade may differ.
         import os as _os
 
         planar = cfg.get(
             "net_R_planar", _os.environ.get("SAN_TPU_PLANAR", "auto")
         )
         if planar == "auto":
-            planar = jax.default_backend() in ("tpu", "axon")
+            planar = False
         self.net_R = VarNet(
             num_cascades=cfg.get("net_R_cascades", 8),
             sens_chans=cfg.get("net_R_sens_chans", 8),
