@@ -373,6 +373,10 @@ def main():
                         "b128 on the v5e, docs/perf_ab_r03.jsonl)")
     p.add_argument("--fft", type=str, default=None,
                    choices=["auto", "xla", "matmul"])
+    p.add_argument("--s2d", type=int, default=None,
+                   help="UNet levels executed in the space-to-depth layout "
+                        "(models/s2d.py MXU lane lever); default: the "
+                        "TPU-measured per-mode default")
     # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
     # cannot force a platform — mirror train/eval's --platform flag
     p.add_argument("--platform", type=str, default=None,
@@ -416,8 +420,10 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     planar = False if args.planar == "auto" else args.planar == "on"
+    s2d = args.s2d if args.s2d is not None else 0
     net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
-                 pools=4, use_ref=True, planar=planar, dtype=dtype)
+                 pools=4, use_ref=True, planar=planar, s2d_levels=s2d,
+                 dtype=dtype)
 
     from spatialalignmentnetwork_tpu.utils.transfer import to_device
 

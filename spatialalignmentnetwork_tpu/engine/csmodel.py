@@ -112,6 +112,13 @@ class CSModel:
         )
         if planar == "auto":
             planar = False
+        # space-to-depth execution layout for the k shallowest UNet levels
+        # (models/s2d.py): parameter-identical MXU lane-efficiency lever.
+        # auto resolves per backend from the measured serving A/B
+        # (docs/perf_ab_r03.jsonl).
+        s2d = cfg.get("net_R_s2d", _os.environ.get("SAN_TPU_S2D", "auto"))
+        if s2d == "auto":
+            s2d = 0
         self.net_R = VarNet(
             num_cascades=cfg.get("net_R_cascades", 8),
             sens_chans=cfg.get("net_R_sens_chans", 8),
@@ -120,6 +127,7 @@ class CSModel:
             pools=cfg.get("net_R_pools", 4),
             use_ref=True,
             planar=bool(planar),
+            s2d_levels=int(s2d),
             # remat defaults ON: without it the backward stores all 8
             # cascades' UNet activations in conv-padded layouts — measured
             # 49.5 GB at batch 8 on a 16 GB v5e (bench --mode train OOM);

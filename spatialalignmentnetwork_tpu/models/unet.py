@@ -12,6 +12,7 @@ Modules run NHWC internally; `NormUnet` accepts the framework's NCHW complex
 convention at its boundary.
 """
 
+import os
 from typing import Any, Optional
 
 import jax.numpy as jnp
@@ -27,44 +28,105 @@ from .layers import (
 )
 
 
+# Decoder skip joins as PairConv (kernel-sliced sum of two convs) instead
+# of a materialized jnp.concatenate — default ON: together with the
+# one-pass instance norm it took serving from 369 -> 504 slices/s at b128
+# on the v5e (docs/perf_ab_r03.jsonl; +13% on top of the IN win alone).
+# Exact reassociation; identical param tree either way.
+# SAN_TPU_PAIRCONV=0 reverts to the materialized concat.
+_PAIR_DECODER = os.environ.get("SAN_TPU_PAIRCONV", "1") == "1"
+
+
 class Unet(nn.Module):
     """U-Net over real NHWC arrays (reference varnet.py:24-119).
 
     Encoder: ConvBlock then 2x2 avg-pool per level; bottleneck ConvBlock;
     decoder: TransposeConvBlock, reflect-pad to odd sizes, concat skip,
     ConvBlock; final 1x1 conv.
+
+    `s2d_levels=k` executes the k SHALLOWEST levels in the space-to-depth
+    layout (models/s2d.py): exactly the same parameters and math, but the
+    small-channel convs at the largest spatial extents run as 2x2-cell
+    convs with 4x channels for MXU lane efficiency. A level falls back to
+    the plain layout when its entering spatial size is odd (never the
+    case downstream of NormUnet's pad-to-16).
     """
 
     out_chans: int
     chans: int = 32
     num_pool_layers: int = 4
+    s2d_levels: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from .s2d import (
+            Conv as S2DConv,
+            depth_to_space,
+            phase_mean_pool,
+            space_to_depth,
+        )
+
         stack = []
         ch = self.chans
         # down-sampling path
         chs = [ch * (2**i) for i in range(self.num_pool_layers)]
-        for c in chs:
-            x = ConvBlock(c, dtype=self.dtype)(x)
+        lvl_s2d = []
+        for lvl, c in enumerate(chs):
+            use = (
+                lvl < self.s2d_levels
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            )
+            lvl_s2d.append(use)
+            if use:
+                x = space_to_depth(x)
+            x = ConvBlock(c, dtype=self.dtype, s2d=use)(x)
             stack.append(x)
-            x = avg_pool2(x)
+            # phase-mean on the s2d layout IS the 2x2 avg-pool, and lands
+            # back in the original layout at the pooled resolution
+            x = phase_mean_pool(x) if use else avg_pool2(x)
         x = ConvBlock(chs[-1] * 2, dtype=self.dtype)(x)
         # up-sampling path
         for i, c in enumerate(reversed(chs)):
+            lvl = len(chs) - 1 - i
             skip = stack.pop()
-            x = TransposeConvBlock(c, dtype=self.dtype)(x)
-            # reflect-pad right/bottom when the skip had an odd size
-            pad_w = skip.shape[2] - x.shape[2]
-            pad_h = skip.shape[1] - x.shape[1]
-            if pad_w or pad_h:
-                x = jnp.pad(
-                    x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)), mode="reflect"
+            use = lvl_s2d[lvl]
+            x = TransposeConvBlock(c, dtype=self.dtype, s2d_out=use)(x)
+            if use:
+                # sizes are exact on s2d levels (even by construction):
+                # no reflect-pad branch. BLOCK concat (cheap, contiguous);
+                # the phase interleave is absorbed into the next conv's
+                # kernel row permutation (s2d_in_splits)
+                x = jnp.concatenate([x, skip], axis=-1)
+            else:
+                # reflect-pad right/bottom when the skip had an odd size
+                pad_w = skip.shape[2] - x.shape[2]
+                pad_h = skip.shape[1] - x.shape[1]
+                if pad_w or pad_h:
+                    x = jnp.pad(
+                        x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect",
+                    )
+                # concat-free skip join: the widest tensors in the net are
+                # the decoder concats at full spatial extent; PairConv
+                # slices the KERNEL instead of materializing the concat
+                # (exact reassociation, identical params)
+                x = (x, skip) if _PAIR_DECODER else jnp.concatenate(
+                    [x, skip], axis=-1
                 )
-            x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvBlock(c, dtype=self.dtype)(x)
-        x = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(x)
+            x = ConvBlock(
+                c, dtype=self.dtype, s2d=use,
+                s2d_in_splits=(c, c) if use else (),
+            )(x)
+            if use and lvl > 0:
+                # the shallower decoder level expects the original layout
+                x = depth_to_space(x)
+        if lvl_s2d and lvl_s2d[0]:
+            x = S2DConv(self.out_chans, (1, 1), dtype=self.dtype, s2d=True)(x)
+            x = depth_to_space(x)
+        else:
+            x = nn.Conv(self.out_chans, (1, 1), dtype=self.dtype)(x)
         return x
 
 
@@ -160,6 +222,9 @@ class NormUnet(nn.Module):
     # shape-only-dependent, so a caller invoking this module repeatedly on
     # the same ref — e.g. the VarNet cascade scan — hoists them out)
     ref_prenormalized: bool = False
+    # execute the k shallowest U-Net levels in the space-to-depth layout
+    # (models/s2d.py; parameter-identical, MXU lane efficiency)
+    s2d_levels: int = 0
     dtype: Any = jnp.float32
 
     # planar=True switches the module to the planar-NHWC layout: __call__
@@ -194,6 +259,7 @@ class NormUnet(nn.Module):
                 out_chans=self.out_chans * 2,
                 chans=self.chans,
                 num_pool_layers=self.num_pools,
+                s2d_levels=self.s2d_levels,
                 dtype=self.dtype,
             )(nchw_to_nhwc(x))
         )
@@ -228,6 +294,7 @@ class NormUnet(nn.Module):
             out_chans=self.out_chans * 2,
             chans=self.chans,
             num_pool_layers=self.num_pools,
+            s2d_levels=self.s2d_levels,
             dtype=self.dtype,
         )(x)
 

@@ -94,6 +94,7 @@ class SensitivityModel(nn.Module):
     chans: int
     num_pools: int
     planar: bool = False
+    s2d_levels: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -106,7 +107,10 @@ class SensitivityModel(nn.Module):
         acs_images = ifft2(acs_kspace)
         # estimate each coil independently: fold coils into the batch
         batched = acs_images.reshape(n * c, 1, h, w)
-        sens = NormUnet(self.chans, self.num_pools, dtype=self.dtype)(batched)
+        sens = NormUnet(
+            self.chans, self.num_pools, s2d_levels=self.s2d_levels,
+            dtype=self.dtype,
+        )(batched)
         sens = sens.reshape(n, c, h, w)
         return sens / (rss(sens) + 1e-6)
 
@@ -124,7 +128,8 @@ class SensitivityModel(nn.Module):
             im = jnp.moveaxis(acs[..., c:], -1, 1).reshape(n * c, h, w, 1)
             batched = jnp.concatenate([re, im], axis=-1)
         sens = NormUnet(
-            self.chans, self.num_pools, planar=True, dtype=self.dtype
+            self.chans, self.num_pools, planar=True,
+            s2d_levels=self.s2d_levels, dtype=self.dtype,
         )(batched)
         if c > 1:
             re = jnp.moveaxis(sens[..., 0].reshape(n, c, h, w), 1, -1)
@@ -141,6 +146,7 @@ class VarNetBlock(nn.Module):
     pools: int
     use_ref: bool
     planar: bool = False
+    s2d_levels: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -153,7 +159,8 @@ class VarNetBlock(nn.Module):
             )
             image = NormUnet(
                 self.chans, self.pools, use_ref=self.use_ref,
-                ref_prenormalized=True, planar=True, dtype=self.dtype,
+                ref_prenormalized=True, planar=True,
+                s2d_levels=self.s2d_levels, dtype=self.dtype,
             )(image, ref_image if self.use_ref else None)
             model_term = fft2_planar(sens_expand_planar(image, sens_maps))
             dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
@@ -167,7 +174,8 @@ class VarNetBlock(nn.Module):
         )
         image = NormUnet(
             self.chans, self.pools, use_ref=self.use_ref,
-            ref_prenormalized=True, dtype=self.dtype,
+            ref_prenormalized=True, s2d_levels=self.s2d_levels,
+            dtype=self.dtype,
         )(image, ref_image if self.use_ref else None)
         model_term = fft2(image * sens_maps)
         # soft data consistency on sampled lines
@@ -195,6 +203,10 @@ class VarNet(nn.Module):
     # once at each boundary instead of per cascade. The external API is
     # unchanged (complex NCHW in, real NCHW out).
     planar: bool = False
+    # execute the k shallowest levels of every NormUnet (cascades + sens)
+    # in the space-to-depth layout (models/s2d.py): parameter-identical,
+    # ~3-4x MXU lane efficiency on the small-channel convs
+    s2d_levels: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -204,7 +216,8 @@ class VarNet(nn.Module):
                 masked_kspace, mask, ref, num_low_frequencies
             )
         sens_maps = SensitivityModel(
-            self.sens_chans, self.sens_pools, dtype=self.dtype
+            self.sens_chans, self.sens_pools, s2d_levels=self.s2d_levels,
+            dtype=self.dtype,
         )(masked_kspace, num_low_frequencies)
 
         if self.use_ref:
@@ -238,7 +251,10 @@ class VarNet(nn.Module):
             length=self.num_cascades,
         )
         kspace_pred, _ = scan(
-            VarNetBlock(self.chans, self.pools, self.use_ref, dtype=self.dtype),
+            VarNetBlock(
+                self.chans, self.pools, self.use_ref,
+                s2d_levels=self.s2d_levels, dtype=self.dtype,
+            ),
             masked_kspace,
             (),
         )
@@ -252,7 +268,8 @@ class VarNet(nn.Module):
             k_planar = masked_kspace
 
         sens_maps = SensitivityModel(
-            self.sens_chans, self.sens_pools, planar=True, dtype=self.dtype
+            self.sens_chans, self.sens_pools, planar=True,
+            s2d_levels=self.s2d_levels, dtype=self.dtype,
         )(k_planar, num_low_frequencies)
 
         if self.use_ref:
@@ -283,7 +300,7 @@ class VarNet(nn.Module):
         kspace_pred, _ = scan(
             VarNetBlock(
                 self.chans, self.pools, self.use_ref, planar=True,
-                dtype=self.dtype,
+                s2d_levels=self.s2d_levels, dtype=self.dtype,
             ),
             k_planar,
             (),

@@ -97,10 +97,20 @@ def test_varnet_forward_and_grad():
     assert dc.shape[0] == 2
 
 
-def test_varnet_planar_matches_standard():
+def test_varnet_planar_matches_standard(monkeypatch):
     """The planar-NHWC cascade (layout-only redesign, PERF.md lever) is
     numerically equivalent to the standard complex path with the SAME
-    parameters — forward and gradient."""
+    parameters — forward and gradient.
+
+    Pinned to the two-pass instance norm: the test isolates LAYOUT
+    equivalence, and the one-pass IN's E[x^2]-mean^2 cancellation term
+    compounds with the PairConv reassociation across layout transposes
+    just enough to cross the f32 grad tolerance (each lever alone stays
+    within it; both levers have their own exactness tests in
+    test_bandwidth_levers.py incl. the f64 proof in test_s2d.py)."""
+    from spatialalignmentnetwork_tpu.models import layers as _layers
+
+    monkeypatch.setattr(_layers, "_IN_ONE_PASS", False)
     kw = dict(num_cascades=2, sens_chans=2, sens_pools=2, chans=4, pools=2,
               use_ref=True)
     net_std = VarNet(**kw)
