@@ -114,8 +114,9 @@ class CSModel:
             planar = False
         # space-to-depth execution layout for the k shallowest UNet levels
         # (models/s2d.py): parameter-identical MXU lane-efficiency lever.
-        # auto resolves per backend from the measured serving A/B
-        # (docs/perf_ab_r03.jsonl).
+        # auto resolves to OFF — measured 24-35% slower at b128 serving on
+        # the bandwidth-bound v5e relay (docs/perf_ab_r03.jsonl); opt in
+        # on MXU-bound backends via SAN_TPU_S2D / cfg net_R_s2d.
         s2d = cfg.get("net_R_s2d", _os.environ.get("SAN_TPU_S2D", "auto"))
         if s2d == "auto":
             s2d = 0

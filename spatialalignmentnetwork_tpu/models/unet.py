@@ -130,6 +130,25 @@ class Unet(nn.Module):
         return x
 
 
+def _mean_var(g: jnp.ndarray, axis, n: int):
+    """Group mean and UNBIASED variance (matches torch.std), f32+ stats.
+
+    One-pass (fused sum/sum-sq, var = E[x^2]-mean^2) under the same
+    SAN_TPU_IN switch as layers.instance_norm — one fewer read of the
+    activation per norm; two-pass centered otherwise."""
+    from .layers import _IN_ONE_PASS
+
+    gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
+    if _IN_ONE_PASS:
+        mean = jnp.sum(gf, axis=axis) / n
+        m2 = jnp.sum(gf * gf, axis=axis) / n
+        var = jnp.maximum(m2 - mean * mean, 0.0) * (n / (n - 1))
+        return mean, var
+    mean = jnp.mean(gf, axis=axis)
+    var = jnp.var(gf, axis=axis) * (n / (n - 1))
+    return mean, var
+
+
 def group_norm_2(x_nchw: jnp.ndarray, eps: float = 1e-6):
     """Normalize an [N, C, H, W] real array in two groups (first/second half
     of channels = real/imag parts), with unbiased std (varnet.py:257-268).
@@ -138,16 +157,17 @@ def group_norm_2(x_nchw: jnp.ndarray, eps: float = 1e-6):
     """
     b, c, h, w = x_nchw.shape
     g = x_nchw.reshape(b, 2, (c // 2) * h * w)
-    mean = jnp.mean(g, axis=2)
     n = g.shape[2]
-    var = jnp.var(g, axis=2) * (n / (n - 1))  # unbiased, matches torch.std
+    mean, var = _mean_var(g, 2, n)
     # zero-variance groups (all-constant input planes) get std=0 with a
     # ZERO gradient — sqrt's infinite slope at 0 would otherwise NaN the
     # backward pass (see ops/fft.rss note)
     nz = var > 0
     std = jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
-    mean = mean.reshape(b, 2, 1, 1)
-    std = std.reshape(b, 2, 1, 1)
+    # stats accumulate in f32+ but are applied in the compute dtype: the
+    # normalized activation must not silently promote under bf16 policy
+    mean = mean.astype(x_nchw.dtype).reshape(b, 2, 1, 1)
+    std = std.astype(x_nchw.dtype).reshape(b, 2, 1, 1)
     xn = (x_nchw.reshape(b, 2, c // 2, h, w) - mean[:, :, None]) / (
         std[:, :, None] + eps
     )
@@ -162,11 +182,12 @@ def group_norm_2_nhwc(x: jnp.ndarray, eps: float = 1e-6):
     n, h, w, k2 = x.shape
     c = k2 // 2
     g = x.reshape(n, h, w, 2, c)
-    mean = jnp.mean(g, axis=(1, 2, 4))
     cnt = h * w * c
-    var = jnp.var(g, axis=(1, 2, 4)) * (cnt / (cnt - 1))
+    mean, var = _mean_var(g, (1, 2, 4), cnt)
     nz = var > 0
     std = jnp.where(nz, jnp.sqrt(jnp.where(nz, var, 1.0)), 0.0)
+    mean = mean.astype(x.dtype)
+    std = std.astype(x.dtype)
     xn = (g - mean[:, None, None, :, None]) / (
         std[:, None, None, :, None] + eps
     )
