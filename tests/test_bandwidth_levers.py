@@ -133,3 +133,50 @@ def test_unet_pair_decoder_odd_sizes_pad_path():
     np.testing.assert_allclose(
         np.asarray(y_pair), np.asarray(y_cat), atol=5e-5, rtol=5e-5
     )
+
+
+def test_group_norm_2_one_pass_matches_two_pass():
+    from spatialalignmentnetwork_tpu.models.unet import (
+        group_norm_2,
+        group_norm_2_nhwc,
+    )
+
+    x = _rand((2, 4, 12, 10), seed=6, scale=2.0, offset=-3.0)
+    one = _with_flag(layers, "_IN_ONE_PASS", True, lambda: group_norm_2(x))
+    two = _with_flag(layers, "_IN_ONE_PASS", False, lambda: group_norm_2(x))
+    for a, b in zip(one, two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    xh = _rand((2, 12, 10, 6), seed=7, scale=2.0, offset=5.0)
+    one = _with_flag(
+        layers, "_IN_ONE_PASS", True, lambda: group_norm_2_nhwc(xh)
+    )
+    two = _with_flag(
+        layers, "_IN_ONE_PASS", False, lambda: group_norm_2_nhwc(xh)
+    )
+    for a, b in zip(one, two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_group_norm_2_zero_variance_guard_one_pass():
+    from spatialalignmentnetwork_tpu.models.unet import group_norm_2
+
+    x = jnp.ones((1, 4, 6, 6), jnp.float32) * 3.0
+
+    def f(x):
+        xn, mean, std = group_norm_2(x)
+        return jnp.sum(xn ** 2) + jnp.sum(std)
+
+    val, grad = jax.value_and_grad(f)(x)
+    assert np.isfinite(float(val))
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_group_norm_2_keeps_compute_dtype():
+    from spatialalignmentnetwork_tpu.models.unet import group_norm_2
+
+    x = _rand((1, 4, 8, 8), seed=8).astype(jnp.bfloat16)
+    xn, mean, std = group_norm_2(x)
+    # f32 stat accumulation must not promote the normalized activation
+    assert xn.dtype == jnp.bfloat16
+    assert mean.dtype == jnp.bfloat16 and std.dtype == jnp.bfloat16
