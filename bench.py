@@ -375,8 +375,9 @@ def main():
                    choices=["auto", "xla", "matmul"])
     p.add_argument("--s2d", type=int, default=None,
                    help="UNet levels executed in the space-to-depth layout "
-                        "(models/s2d.py MXU lane lever); default: the "
-                        "TPU-measured per-mode default")
+                        "(models/s2d.py MXU lane lever); default 0 — "
+                        "measured 24-35%% slower on this bandwidth-bound "
+                        "backend (docs/perf_ab_r03.jsonl)")
     # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
     # cannot force a platform — mirror train/eval's --platform flag
     p.add_argument("--platform", type=str, default=None,

@@ -233,7 +233,12 @@ def main():
             f"shape={args.shape} seed={args.seed} tol_db={args.tol_db}\n"
             f"reference: torch CPU, production-scale nets "
             f"(8-cascade VarNet, 512-wide NetG)\n"
-            f"ours: jax CPU via eval.py on the converted checkpoint\n\n"
+            f"ours: jax CPU via eval.py on the converted checkpoint\n"
+            f"note: loss_gan_sim is inf/huge ON BOTH SIDES by construction "
+            f"at a synthetic (untrained) checkpoint — NetG's torch-exact "
+            f"spectral norm has unconverged u/v vectors in eval mode, so G "
+            f"output magnitudes explode identically in both frameworks; the "
+            f"matching infs ARE the parity signal (delta reads nan).\n\n"
             + r.stdout
         )
     sys.exit(r.returncode)

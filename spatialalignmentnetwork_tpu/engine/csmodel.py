@@ -46,6 +46,51 @@ from ..models.gan import NetG, NetD, loss_gan
 from ..utils import metrics_jax as jmetrics
 from .checkpoint import ckpt_save, ckpt_load, flatten_tree
 
+_TRUTHY = ("1", "on", "true", "yes")
+_FALSY = ("0", "off", "false", "no", "")
+
+
+def _parse_bool_lever(name, value, auto):
+    """Parse an on/off perf-lever value from cfg or env. Accepts bools,
+    the usual on/off strings (case-insensitive), and 'auto' -> `auto`;
+    anything else is an error rather than python-truthiness (bool('off')
+    is True — silently enabling a lever the user asked to disable)."""
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s == "auto":
+        return auto
+    if s in _TRUTHY:
+        return True
+    if s in _FALSY:
+        return False
+    raise ValueError(
+        f"{name}: expected on/off/auto (or a bool), got {value!r}"
+    )
+
+
+def _parse_level_lever(name, value, auto):
+    """Parse an integer-level perf lever (e.g. s2d depth). Accepts ints,
+    int strings, on/true (-> 1), off/false (-> 0), and 'auto' -> `auto`."""
+    if isinstance(value, bool):
+        return int(value)
+    if isinstance(value, int):
+        return value
+    s = str(value).strip().lower()
+    if s == "auto":
+        return auto
+    if s in _TRUTHY:
+        return 1
+    if s in _FALSY:
+        return 0
+    try:
+        return int(s)
+    except ValueError:
+        raise ValueError(
+            f"{name}: expected an integer level, on/off, or auto; "
+            f"got {value!r}"
+        ) from None
+
 NET_NAMES = ("net_mask", "net_G", "net_D", "net_T", "net_R")
 
 # which nets receive gradients per training regime (reference
@@ -107,19 +152,22 @@ class CSModel:
         # opt-in for backends where the layout trade may differ.
         import os as _os
 
-        planar = cfg.get(
-            "net_R_planar", _os.environ.get("SAN_TPU_PLANAR", "auto")
+        planar = _parse_bool_lever(
+            "net_R_planar/SAN_TPU_PLANAR",
+            cfg.get("net_R_planar", _os.environ.get("SAN_TPU_PLANAR", "auto")),
+            auto=False,
         )
-        if planar == "auto":
-            planar = False
         # space-to-depth execution layout for the k shallowest UNet levels
         # (models/s2d.py): parameter-identical MXU lane-efficiency lever.
         # auto resolves to OFF — measured 24-35% slower at b128 serving on
         # the bandwidth-bound v5e relay (docs/perf_ab_r03.jsonl); opt in
-        # on MXU-bound backends via SAN_TPU_S2D / cfg net_R_s2d.
-        s2d = cfg.get("net_R_s2d", _os.environ.get("SAN_TPU_S2D", "auto"))
-        if s2d == "auto":
-            s2d = 0
+        # on MXU-bound backends via SAN_TPU_S2D / cfg net_R_s2d (a level
+        # count; on/true are accepted as 1).
+        s2d = _parse_level_lever(
+            "net_R_s2d/SAN_TPU_S2D",
+            cfg.get("net_R_s2d", _os.environ.get("SAN_TPU_S2D", "auto")),
+            auto=0,
+        )
         self.net_R = VarNet(
             num_cascades=cfg.get("net_R_cascades", 8),
             sens_chans=cfg.get("net_R_sens_chans", 8),
@@ -127,8 +175,8 @@ class CSModel:
             chans=cfg.get("net_R_chans", 18),
             pools=cfg.get("net_R_pools", 4),
             use_ref=True,
-            planar=bool(planar),
-            s2d_levels=int(s2d),
+            planar=planar,
+            s2d_levels=s2d,
             # remat defaults ON: without it the backward stores all 8
             # cascades' UNet activations in conv-padded layouts — measured
             # 49.5 GB at batch 8 on a 16 GB v5e (bench --mode train OOM);

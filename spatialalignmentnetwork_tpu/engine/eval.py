@@ -180,9 +180,21 @@ def main(args):
         net.set_input(*batch)
         net.test(valid=valid, sync=False)
         aux = net._aux
+        # retain only what collect() reads: the scalar losses/metrics, plus
+        # the image volumes when saving. Holding the whole aux dict kept a
+        # previous volume's 7+ full-volume device arrays alive through the
+        # next volume's step — avoidable peak-memory on a 16 GB chip.
+        keep = {
+            k: v for k, v in aux.items()
+            if k.startswith("loss_") or k.startswith("metric_")
+        }
+        if args.save is not None:
+            for key in ("img_offset", "img_full_rss", "img_aux_rss",
+                        "img_sampled_rss", "img_warped_rss", "img_rec"):
+                keep[key] = aux[key]
         if pending is not None:
             collect(*pending)
-        pending = (i, aux, restore)
+        pending = (i, keep, restore)
     if pending is not None:
         collect(*pending)
 

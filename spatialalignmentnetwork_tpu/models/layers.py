@@ -29,10 +29,21 @@ def nhwc_to_nchw(x):
 # two-pass form. The one-pass form reads each conv output twice instead of
 # three times — a pure HBM-bandwidth lever on the serving path, where the
 # UNet convs are bandwidth-bound (PERF.md "Where the time goes").
-_IN_ONE_PASS = os.environ.get("SAN_TPU_IN", "onepass") == "onepass"
+# None = read SAN_TPU_IN at trace time (so setting the env after import
+# still works, like the other SAN_TPU_* levers); tests/tools may pin the
+# module attribute to True/False directly.
+_IN_ONE_PASS = None
 
 
-def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+def in_one_pass() -> bool:
+    if _IN_ONE_PASS is not None:
+        return _IN_ONE_PASS
+    return os.environ.get("SAN_TPU_IN", "onepass") == "onepass"
+
+
+def instance_norm(
+    x: jnp.ndarray, eps: float = 1e-5, one_pass: bool = None
+) -> jnp.ndarray:
     """InstanceNorm without affine params over an NHWC array.
 
     Normalizes each (sample, channel) plane by its spatial mean/variance
@@ -40,12 +51,17 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     are accumulated in f32 regardless of the compute dtype; the one-pass
     form (default, `SAN_TPU_IN=twopass` reverts) fuses the mean and
     second-moment reductions into a single pass over the activation.
-    E[x^2]-mean^2 cancellation is benign here: post-conv activations are
-    zero-mean-ish and the accumulation is f32.
+    E[x^2]-mean^2 cancellation is benign for POST-CONV activations
+    (mean/std ratio O(1), f32 accumulation); call sites normalizing raw
+    image-domain inputs — where a near-flat plane can have mean/std large
+    enough to cancel all variance bits — must pass `one_pass=False`
+    (see the ref-channel norms in varnet/unet and group_norm_2).
     """
+    if one_pass is None:
+        one_pass = in_one_pass()
     stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
     xf = x.astype(stat_dtype)
-    if _IN_ONE_PASS:
+    if one_pass:
         cnt = x.shape[1] * x.shape[2]
         s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
         s2 = jnp.sum(xf * xf, axis=(1, 2), keepdims=True)

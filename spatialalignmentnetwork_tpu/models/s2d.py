@@ -97,7 +97,7 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     and plain layouts stay equivalent to reassociation. The phase
     reduction happens on the tiny [N, 4C] stat arrays, never on the
     activation."""
-    from .layers import _IN_ONE_PASS
+    from .layers import in_one_pass
 
     n, hc, wc, c4 = x.shape
     c = c4 // 4
@@ -107,7 +107,7 @@ def instance_norm_s2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
         return s[:, :c] + s[:, c:2 * c] + s[:, 2 * c:3 * c] + s[:, 3 * c:]
 
     xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-    if _IN_ONE_PASS:
+    if in_one_pass():
         mean = phase_sum(jnp.sum(xf, axis=(1, 2))) / cnt
         m2 = phase_sum(jnp.sum(xf * xf, axis=(1, 2))) / cnt
         var = jnp.maximum(m2 - mean * mean, 0.0)

@@ -33,8 +33,15 @@ from .layers import (
 # one-pass instance norm it took serving from 369 -> 504 slices/s at b128
 # on the v5e (docs/perf_ab_r03.jsonl; +13% on top of the IN win alone).
 # Exact reassociation; identical param tree either way.
-# SAN_TPU_PAIRCONV=0 reverts to the materialized concat.
-_PAIR_DECODER = os.environ.get("SAN_TPU_PAIRCONV", "1") == "1"
+# SAN_TPU_PAIRCONV=0 reverts to the materialized concat. None = read the
+# env at trace time; tests/tools may pin the module attribute directly.
+_PAIR_DECODER = None
+
+
+def pair_decoder() -> bool:
+    if _PAIR_DECODER is not None:
+        return _PAIR_DECODER
+    return os.environ.get("SAN_TPU_PAIRCONV", "1") == "1"
 
 
 class Unet(nn.Module):
@@ -112,7 +119,7 @@ class Unet(nn.Module):
                 # the decoder concats at full spatial extent; PairConv
                 # slices the KERNEL instead of materializing the concat
                 # (exact reassociation, identical params)
-                x = (x, skip) if _PAIR_DECODER else jnp.concatenate(
+                x = (x, skip) if pair_decoder() else jnp.concatenate(
                     [x, skip], axis=-1
                 )
             x = ConvBlock(
@@ -133,17 +140,13 @@ class Unet(nn.Module):
 def _mean_var(g: jnp.ndarray, axis, n: int):
     """Group mean and UNBIASED variance (matches torch.std), f32+ stats.
 
-    One-pass (fused sum/sum-sq, var = E[x^2]-mean^2) under the same
-    SAN_TPU_IN switch as layers.instance_norm — one fewer read of the
-    activation per norm; two-pass centered otherwise."""
-    from .layers import _IN_ONE_PASS
-
+    Deliberately TWO-PASS (centered), unlike the post-conv instance norms:
+    the group norms run on raw image-domain inputs, where a near-flat
+    plane can have mean/std large enough that the one-pass E[x^2]-mean^2
+    form cancels every variance bit in f32 (std collapses to 0 and the
+    normalize blows up by ~1/eps). The group norms are ~2.5% of serving
+    traffic, so the one-pass read saving is noise here anyway."""
     gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
-    if _IN_ONE_PASS:
-        mean = jnp.sum(gf, axis=axis) / n
-        m2 = jnp.sum(gf * gf, axis=axis) / n
-        var = jnp.maximum(m2 - mean * mean, 0.0) * (n / (n - 1))
-        return mean, var
     mean = jnp.mean(gf, axis=axis)
     var = jnp.var(gf, axis=axis) * (n / (n - 1))
     return mean, var
@@ -269,7 +272,11 @@ class NormUnet(nn.Module):
         if self.use_ref:
             assert ref is not None and not jnp.iscomplexobj(ref)
             if not self.ref_prenormalized:
-                ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
+                # raw RSS magnitude (not a post-conv activation): a near-
+                # flat plane can cancel all variance bits in one-pass form
+                ref = nhwc_to_nchw(
+                    instance_norm(nchw_to_nhwc(ref), one_pass=False)
+                )
                 ref, _ = pad_to_16(ref)
             x = jnp.concatenate([x, ref], axis=1)
         else:
@@ -305,7 +312,7 @@ class NormUnet(nn.Module):
         if self.use_ref:
             assert ref is not None and ref.shape[-1] == 1
             if not self.ref_prenormalized:
-                ref = instance_norm(ref)
+                ref = instance_norm(ref, one_pass=False)  # raw RSS magnitude
                 ref, _ = pad_to_16_nhwc(ref)
             x = jnp.concatenate([x, ref], axis=-1)
         else:

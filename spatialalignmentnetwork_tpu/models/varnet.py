@@ -225,7 +225,11 @@ class VarNet(nn.Module):
             # pad-to-16, reference varnet.py:315-319) out of the scan: it
             # would otherwise be recomputed identically in all 8 cascades
             ref = rss(ref)
-            ref = nhwc_to_nchw(instance_norm(nchw_to_nhwc(ref)))
+            # raw RSS magnitude (not a post-conv activation): a near-flat
+            # plane can cancel all variance bits in the one-pass form
+            ref = nhwc_to_nchw(
+                instance_norm(nchw_to_nhwc(ref), one_pass=False)
+            )
             ref, _ = pad_to_16(ref)
         else:
             ref = None
@@ -274,7 +278,10 @@ class VarNet(nn.Module):
 
         if self.use_ref:
             ref = rss(ref)  # [N, 1, H, W]
-            ref = instance_norm(nchw_to_nhwc(ref))  # [N, H, W, 1]
+            # raw RSS magnitude: pin the cancellation-safe two-pass stats
+            ref = instance_norm(
+                nchw_to_nhwc(ref), one_pass=False
+            )  # [N, H, W, 1]
             ref, _ = pad_to_16_nhwc(ref)
         else:
             ref = None

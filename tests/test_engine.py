@@ -483,3 +483,29 @@ def test_ckpt_save_is_atomic(tmp_path, monkeypatch):
     loaded = CK.ckpt_load(folder)
     np.testing.assert_array_equal(loaded["net_X"]["w"], np.ones(3))
     assert loaded["config"].marker == "v1"
+
+
+def test_perf_lever_parsing():
+    """on/off/auto lever strings parse by meaning, not python truthiness
+    (bool('off') is True — would silently enable a disabled lever)."""
+    from spatialalignmentnetwork_tpu.engine.csmodel import (
+        _parse_bool_lever,
+        _parse_level_lever,
+    )
+
+    assert _parse_bool_lever("t", "off", auto=True) is False
+    assert _parse_bool_lever("t", "0", auto=True) is False
+    assert _parse_bool_lever("t", "False", auto=True) is False
+    assert _parse_bool_lever("t", "on", auto=False) is True
+    assert _parse_bool_lever("t", "auto", auto=False) is False
+    assert _parse_bool_lever("t", True, auto=False) is True
+    with pytest.raises(ValueError):
+        _parse_bool_lever("t", "maybe", auto=False)
+
+    assert _parse_level_lever("t", "2", auto=0) == 2
+    assert _parse_level_lever("t", 3, auto=0) == 3
+    assert _parse_level_lever("t", "on", auto=0) == 1
+    assert _parse_level_lever("t", "off", auto=1) == 0
+    assert _parse_level_lever("t", "auto", auto=0) == 0
+    with pytest.raises(ValueError):
+        _parse_level_lever("t", "deep", auto=0)
