@@ -137,15 +137,49 @@ def _readback_time(fn, *args):
     return time.perf_counter() - t0
 
 
+def _last_recorded(metric):
+    """Most recent committed measurement of this metric from the repo's A/B
+    logs — context for a suspect artifact, NOT a substitute measurement."""
+    import glob
+
+    best = None
+    for path in sorted(glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "perf_ab_r*.jsonl")
+    )):
+        try:
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue
+                    if rec.get("metric") == metric and rec.get("value"):
+                        best = {"value": rec["value"], "source": path}
+        except OSError:
+            continue
+    return best
+
+
 def _emit_unreachable(metric, why):
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": 0.0,
         "unit": "steps/s" if "steps_per_sec" in metric else "slices/s",
         "vs_baseline": 0.0,
         "suspect": True,
         "suspect_reason": why,
-    }))
+    }
+    last = _last_recorded(metric)
+    if last is not None:
+        # context only: the last committed measurement of the same metric
+        # on this backend (value stays 0.0/suspect — nothing ran NOW)
+        out["last_recorded_value"] = last["value"]
+        out["last_recorded_source"] = last["source"]
+    print(json.dumps(out))
 
 
 def guard_backend_alive(metric, probe_timeout_s=180, total_timeout_s=2700):

