@@ -1,4 +1,5 @@
-"""Fused Pallas TPU kernel for the Parzen-window MI loss forward pass.
+"""Fused Pallas TPU kernels for the Parzen-window MI loss — forward AND
+backward.
 
 Reference semantics (miloss.py:26-57): per sample, Gaussian kernel
 responses of every pixel to 64 intensity bin centers form [B, M] matrices
@@ -12,7 +13,10 @@ blocks [64, K] in-register, accumulates the marginal sums [64] and the
 joint [64, 64] Gram update on the MXU, and finishes with the entropy
 arithmetic — one pass over the pixels, nothing spilled.
 
-Backward via custom VJP over the closed-form jnp implementation.
+The backward (round 3, `_mi_bwd_kernel`) is the closed-form gradient fused
+into the same chunk-streaming shape: pass 1 re-accumulates the tiny
+marginal/joint stats, pass 2 re-streams the pixels emitting dI/dJ — the
+[bins, M] response matrices never exist in HBM in either direction.
 """
 
 import functools
