@@ -229,3 +229,44 @@ def test_resume_from_latest(workspace):
         n for n in os.listdir(ckpt_dir) if n.startswith("ckpt_")
     )
     assert after[-1] > before[-1], (before, after)
+
+
+def test_eval_cli_data_parallel_matches_solo(workspace):
+    """Sharded bucketed eval (volumes padded to a bucket, slice axis sharded
+    over the 8 virtual devices — the 'batched 3-D volumes sharded across a
+    slice' serving config) reports the same metrics as the solo eval."""
+    root, csv = workspace
+    logdir = str(root / "log_dpe")
+    from spatialalignmentnetwork_tpu.engine import train as train_cli
+    from spatialalignmentnetwork_tpu.engine import eval as eval_cli
+
+    targs = argparse.Namespace(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
+        net_scale="tiny",
+    )
+    train_cli.main(targs)
+    best = os.path.join(logdir, "ckpt", "best.pt")
+
+    def run(dp):
+        eargs = argparse.Namespace(
+            resume=best, save=None, metric=None, val=str(csv),
+            crop=16, protocals=["T2", "T1"], aux_aug=-1.0,
+            # bucket 16 pads the 4-slice volumes to a batch divisible by
+            # the 8-device mesh; solo run uses the same bucket so both
+            # sides exercise the identical masked step math
+            bucket=16, data_parallel=dp,
+        )
+        return eval_cli.main(eargs)
+
+    solo = run(False)
+    dp = run(True)
+    assert np.isfinite(dp["metric_PSNR"])
+    for k in solo:
+        assert abs(solo[k] - dp[k]) < 1e-4 + 1e-4 * abs(solo[k]), (
+            k, solo[k], dp[k]
+        )
