@@ -28,21 +28,39 @@ def build_library(force=False):
 
     Rebuilds when the source is newer than the library — a stale binary
     (e.g. one checked out from elsewhere) must not shadow source changes.
+    flock-serialized: multi-process training (every worker constructs a
+    NativeSliceCache) must not relink the .so while a sibling dlopens it.
     """
+    import fcntl
+
     src = os.path.join(_REPO_ROOT, "native", "slicecache.cpp")
-    stale = (
-        not os.path.exists(_LIB_PATH)
-        or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
-    )
-    if force or stale:
-        subprocess.run(
-            ["make", "-C", os.path.join(_REPO_ROOT, "native")],
-            check=True, capture_output=True,
+
+    def stale():
+        return (
+            not os.path.exists(_LIB_PATH)
+            or os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
         )
+
+    if force or stale():
+        with open(_LIB_PATH + ".buildlock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if force or stale():  # a sibling may have built while we waited
+                subprocess.run(
+                    ["make", "-C", os.path.join(_REPO_ROOT, "native")],
+                    check=True, capture_output=True,
+                )
     return _LIB_PATH
 
 
+_LIB = None
+
+
 def _load_lib():
+    """dlopen + bind once per process (cached: every NativeSliceCache used
+    to re-run CDLL, and a concurrent rebuild could swap the .so mid-load)."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
     lib = ctypes.CDLL(build_library())
     lib.cache_open.restype = ctypes.c_void_p
     lib.cache_open.argtypes = [ctypes.c_char_p]
@@ -59,13 +77,20 @@ def _load_lib():
     ]
     lib.cache_close.restype = None
     lib.cache_close.argtypes = [ctypes.c_void_p]
+    _LIB = lib
     return lib
 
 
 def write_cache(volume_paths, out_path):
     """Pack normalized slices of h5 volumes into one cache file.
 
-    All volumes must share the slice shape. Returns per-volume slice counts.
+    Constraints vs the general python loader (loud errors, never silent
+    divergence): all volumes must share one (C, H, W) slice shape — the
+    binary format stores a single shape and assembly-time crops are
+    computed against it, so mixing shapes would silently shift crops
+    relative to VolumeDataset's per-volume semantics — and the image data
+    must be real-valued (the f32 store would drop imaginary parts).
+    Returns per-volume slice counts.
     """
     counts = []
     first = True
@@ -76,7 +101,14 @@ def write_cache(volume_paths, out_path):
         H = W = None
         for path in volume_paths:
             with h5py.File(path, "r") as h5:
-                img = np.asarray(h5["image"], dtype=np.float32)
+                raw = h5["image"]
+                if np.issubdtype(raw.dtype, np.complexfloating):
+                    raise ValueError(
+                        f"{path}: complex-valued image dataset; the native "
+                        "f32 cache would drop the imaginary part — use the "
+                        "python loader for complex volumes"
+                    )
+                img = np.asarray(raw, dtype=np.float32)
                 peak = np.float32(h5.attrs["max"])
                 if not peak > 0:
                     raise ValueError(
@@ -90,7 +122,15 @@ def write_cache(volume_paths, out_path):
             if first:
                 C, H, W = c, h, w
                 first = False
-            assert (c, h, w) == (C, H, W), "heterogeneous volume shapes"
+            if (c, h, w) != (C, H, W):
+                # a stripped assert here would write a cache whose header
+                # shape mismatches later volumes' strides -> silent garbage
+                raise ValueError(
+                    f"{path}: volume shape {(c, h, w)} != cache shape "
+                    f"{(C, H, W)}; the native cache requires one uniform "
+                    "slice shape per protocol — use the python loader for "
+                    "mixed-shape splits"
+                )
             f.write(np.ascontiguousarray(img).tobytes())
             counts.append(s)
             total += s
@@ -142,13 +182,22 @@ class NativeSliceCache:
 
 
 class NativePairedSlices:
-    """Paired-modality dataset over two native caches (target, aux) built
-    from the same CSV manifest; drop-in for ConcatDataset+Loader fetch."""
+    """Paired-modality dataset over native caches built from the same CSV
+    manifest; drop-in for ConcatDataset+Loader fetch. Single-modal runs
+    (protocals like ['T2', 'None']) get ONE cache here — the zeros dummy
+    the python DummyVolumeDataset would supply is synthesized downstream
+    by CSModel.set_input(img_aux=None) instead of being stored/shipped."""
 
     def __init__(self, cache_paths, crop):
         self.caches = [NativeSliceCache(p) for p in cache_paths]
         lens = {len(c) for c in self.caches}
-        assert len(lens) == 1, "modalities must align slice-for-slice"
+        if len(lens) != 1:
+            # backstop only: build_caches_from_csv validates the stronger
+            # PER-VOLUME alignment invariant (equal totals can still hide
+            # mis-paired volumes)
+            raise ValueError(
+                f"modalities must align slice-for-slice, got totals {lens}"
+            )
         self.crop = crop
 
     def __len__(self):
@@ -166,12 +215,22 @@ class NativePairedSlices:
 def build_caches_from_csv(csv_path, protocals, out_dir, reuse=True):
     """Compile a paired CSV manifest into one cache file per protocol.
 
-    reuse=True skips protocols whose cache file is newer than the CSV.
-    Writes go to a pid-suffixed temp file swapped in atomically, so
-    concurrent builders (multi-host training) never observe a torn cache.
+    The manifest resolution mirrors get_paired_volume_datasets'
+    acquisition-attr matching (paired_dataset.py) on purpose-flat code;
+    'None' protocols produce no cache file — the single-modal zeros dummy
+    is synthesized downstream by CSModel.set_input, not stored. Per-volume
+    slice counts are validated to match ACROSS protocols at build time
+    (the python AlignedVolumesDataset asserts the same invariant): equal
+    totals with mismatched per-volume counts would silently pair every
+    later slice with the wrong cross-modality slice.
+
+    reuse=True skips protocols whose cache file is newer than the CSV AND
+    every h5 volume it was built from (a regenerated volume must not be
+    shadowed by a stale cache). Writes go to a pid-suffixed temp file
+    swapped in atomically, so concurrent builders (multi-host training)
+    never observe a torn cache.
     """
     os.makedirs(out_dir, exist_ok=True)
-    # resolve each protocol's volume file list via the python dataset layer
     basepath = os.path.dirname(os.path.abspath(csv_path))
     per_protocol = {p: [] for p in protocals if p != "None"}
     with open(csv_path) as f:
@@ -183,13 +242,37 @@ def build_caches_from_csv(csv_path, protocals, out_dir, reuse=True):
                     by_acq[h5.attrs["acquisition"]] = path
             for p in per_protocol:
                 per_protocol[p].append(by_acq[p])
+    import json
+
     outs = []
+    per_volume_counts = {}
     for p, vols in per_protocol.items():
         out = os.path.join(out_dir, f"cache_{p}.bin")
-        if not (reuse and os.path.exists(out)
-                and os.path.getmtime(out) > os.path.getmtime(csv_path)):
+        counts_path = out + ".counts.json"
+        newest_input = max(
+            [os.path.getmtime(csv_path)]
+            + [os.path.getmtime(v) for v in vols]
+        )
+        if (reuse and os.path.exists(out) and os.path.exists(counts_path)
+                and os.path.getmtime(out) > newest_input):
+            with open(counts_path) as cf:
+                per_volume_counts[p] = json.load(cf)
+        else:
             tmp = f"{out}.tmp.{os.getpid()}"
-            write_cache(vols, tmp)
+            counts = write_cache(vols, tmp)
+            with open(f"{counts_path}.tmp.{os.getpid()}", "w") as cf:
+                json.dump(counts, cf)
             os.replace(tmp, out)
+            os.replace(f"{counts_path}.tmp.{os.getpid()}", counts_path)
+            per_volume_counts[p] = counts
         outs.append(out)
+    if len(per_volume_counts) > 1:
+        ref_p, ref_counts = next(iter(per_volume_counts.items()))
+        for p, cnts in per_volume_counts.items():
+            if cnts != ref_counts:
+                raise ValueError(
+                    f"per-volume slice counts differ between protocols "
+                    f"{ref_p} and {p}: {ref_counts} vs {cnts}; the caches "
+                    "would mis-pair slices across modalities"
+                )
     return outs

@@ -236,6 +236,9 @@ def build_parser():
                         type=str, help="path to save metrics JSON")
     parser.add_argument("--val", metavar="/path/to/evaluation_data",
                         required=True, type=str)
+    # accepted-but-unused, mirroring the reference exactly: its eval.py
+    # defines --crop (eval.py:110) but derives the crop from the
+    # checkpoint's cfg.shape (eval.py:44-49), as main() above does
     parser.add_argument("--crop", type=int, default=320)
     parser.add_argument("--protocals", metavar="NAME", type=str, default=None,
                         nargs="*")

@@ -163,7 +163,7 @@ def _kernel(img_ref, grid_ref, out_ref, tile_ref, *, h_in, w_in, bi,
         )
 
 
-def _pick_block_rows(ho, h_in, w_in, wo, vmem_budget=9 * 1024 * 1024):
+def _pick_block_rows(ho, wo, vmem_budget=9 * 1024 * 1024):
     """Output row-block height. Mosaic's tiling requires the output block's
     sublane dim to be a multiple of 8 (or the whole axis), so only 16/8 (or
     ho itself) are candidates; prefer the larger whose live set fits the
@@ -207,7 +207,7 @@ def _forward(img, grid, padding_mode, interpret):
     n, c, h, w = img.shape
     _, ho, wo, _ = grid.shape
     assert grid.shape[0] == n and grid.shape[3] == 2
-    bi = _pick_block_rows(ho, h, w, wo)
+    bi = _pick_block_rows(ho, wo)
     if bi is None:
         # no VMEM-feasible tiling (e.g. large non-multiple-of-8 heights):
         # use the gather formulation instead of hanging/OOMing the chip
@@ -413,7 +413,7 @@ def _bwd(padding_mode, interpret, res, g):
     img, grid = res
     n, c, h, w = img.shape
     _, ho, wo, _ = grid.shape
-    bi = _pick_block_rows(ho, h, w, wo)
+    bi = _pick_block_rows(ho, wo)
     if bi is None:
         # mirror the forward's fallback: no VMEM-feasible tiling
         from ..grid_sample import grid_sample as ref_sample

@@ -45,23 +45,6 @@ def _window_sum_valid(a, win):
     return t
 
 
-def _box_scatter(g, h, w, win):
-    """Transposed valid-window sum: g [h-win+1, w-win+1] -> [h, w] where
-    out[i, j] = sum of g over all windows containing (i, j)."""
-    gh, gw = g.shape
-    # pad to full width, then separable shift-adds with POSITIVE offsets
-    gp = jnp.pad(g, ((0, 0), (0, w - gw)))
-    s = gp
-    for dj in range(1, win):
-        # shift right by dj: zeros enter on the left
-        s = s + jnp.pad(gp, ((0, 0), (dj, 0)))[:, :w]
-    sp = jnp.pad(s, ((0, h - gh), (0, 0)))
-    t = sp
-    for di in range(1, win):
-        t = t + jnp.pad(sp, ((di, 0), (0, 0)))[:h, :]
-    return t
-
-
 def _ssim_sum_kernel(x_ref, y_ref, out_ref, *, win, k1, k2, data_range):
     x = x_ref[0, 0].astype(jnp.float32)
     y = y_ref[0, 0].astype(jnp.float32)

@@ -129,7 +129,10 @@ def test_train_cli_native_cache(workspace):
     # both split caches were compiled, one file per real protocol
     for split in ("train", "val"):
         d = str(root / "nc" / split)
-        assert sorted(os.listdir(d)) == ["cache_T1.bin", "cache_T2.bin"], d
+        assert sorted(os.listdir(d)) == [
+            "cache_T1.bin", "cache_T1.bin.counts.json",
+            "cache_T2.bin", "cache_T2.bin.counts.json",
+        ], d
 
 
 def test_train_cli_learn_mask_loupe(workspace):

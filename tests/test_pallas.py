@@ -107,7 +107,7 @@ def test_pallas_grid_sample_352_feasible():
         _pick_block_rows,
     )
 
-    assert _pick_block_rows(352, 352, 352, 352) is not None
+    assert _pick_block_rows(352, 352) is not None
     rng = np.random.default_rng(33)
     # normalized [0,1] magnitudes — the augmentation input distribution.
     # (At coordinate magnitudes ~350 the f32 ulp of the pixel coordinate
