@@ -230,7 +230,14 @@ class CSModel:
             "net_T": vT.get("batch_stats", {}),
         }
 
-        assert cfg.lr == 1e-4  # parity guard (model.py:52)
+        # parity guard mirroring the reference's own hard assert
+        # (model.py:52 `assert cfg.lr == 1e-4`): the published recipe was
+        # only ever validated at this lr, so both frameworks refuse others
+        assert cfg.lr == 1e-4, (
+            f"lr={cfg.lr}: the reference recipe pins lr to 1e-4 "
+            "(reference model.py:52 asserts the same); remove that guard "
+            "in both frameworks to experiment with other rates"
+        )
         self.tx = {name: optax.adamw(cfg.lr, weight_decay=0.0) for name in NET_NAMES}
         opt = {name: self.tx[name].init(params[name]) for name in NET_NAMES}
 
@@ -245,6 +252,15 @@ class CSModel:
     @property
     def num_low_frequencies(self) -> int:
         # model.py:162
+        if self.cfg.get("sparsity") is None:
+            # the 'mask'/'taylor' kinds build without sparsity, but the
+            # ACS width still needs it — fail with the cause, not a bare
+            # int*None TypeError (the reference crashes the same way at
+            # model.py:162; surfacing it at build is strictly clearer)
+            raise ValueError(
+                "cfg.sparsity is required to derive num_low_frequencies "
+                "(ACS width = shape * sparsity * 0.32); pass --sparsity"
+            )
         return int(self.cfg.shape * self.cfg.sparsity * 0.32)
 
     def train(self, mode=True):
@@ -576,12 +592,13 @@ class CSModel:
                 "opt": new_opt,
                 "pruned": new_pruned,
             }
-            aux = {**losses,
-                   "img_full_rss": env["img_full_rss"],
-                   "img_sampled_rss": env["img_sampled_rss"],
-                   "img_aux_rss": env["img_aux_rss"],
-                   **imgs}
-            return new_state, aux
+            # scalars only: train.py reads get_vis('scalars'/'histograms')
+            # from the train step — image grids come from test() on the vis
+            # batch. Returning the 7+ full-batch image arrays here forced
+            # XLA to materialize them every step (outputs can't be DCE'd)
+            # and kept them alive in _aux until the next step.
+            del imgs
+            return new_state, dict(losses)
 
         return step
 
@@ -713,24 +730,10 @@ class CSModel:
                 "opt": new_opt,
                 "pruned": state["pruned"],
             }
-            # aux: micro-batch outputs re-stitched into the global batch
-            # (inverting the half-split ordering for the GAN regimes)
-            if with_G:
-                m2 = (n // accum) // 2
-                flat = lambda x: jnp.concatenate(
-                    [x[:, :m2].reshape(n // 2, *x.shape[2:]),
-                     x[:, m2:].reshape(n // 2, *x.shape[2:])], axis=0
-                )
-            else:
-                flat = lambda x: x.reshape(n, *x.shape[2:])
-            aux = {k: jnp.mean(v) for k, v in losses.items()}
-            aux.update({
-                "img_full_rss": flat(env["img_full_rss"]),
-                "img_sampled_rss": flat(env["img_sampled_rss"]),
-                "img_aux_rss": flat(env["img_aux_rss"]),
-                **{k: flat(v) for k, v in imgs.items()},
-            })
-            return new_state, aux
+            # scalars only (micro-batch losses averaged) — same rationale
+            # as the plain train step: nothing reads train-step images
+            del imgs, env
+            return new_state, {k: jnp.mean(v) for k, v in losses.items()}
 
         return step
 
@@ -918,6 +921,11 @@ class CSModel:
         if content in ("histograms", None):
             vis["histograms"] = {}
             w = self.state["params"]["net_mask"].get("weight")
+            if w is None:
+                # taylor saliency lives host-side (prune() must not grow
+                # the params pytree — cached sharded steps depend on its
+                # structure)
+                w = getattr(self, "_taylor_saliency", None)
             if w is not None:
                 vis["histograms"]["weights"] = {"values": np.asarray(w)}
         return vis
@@ -1052,10 +1060,13 @@ class CSModel:
             new[order[:num]] = True
             # surface the averaged saliency like the reference (TaylorMask
             # .prune stores it in net_mask.weight, masks.py:228) so the
-            # get_vis('histograms') weights diagnostic appears
-            self.state["params"]["net_mask"] = dict(
-                self.state["params"]["net_mask"], weight=jnp.asarray(w)
-            )
+            # get_vis('histograms') weights diagnostic appears. Host-side
+            # attr, NOT params['net_mask']['weight']: adding a key there
+            # would change the state pytree STRUCTURE and invalidate every
+            # cached jitted step (under --data_parallel the stale
+            # in_shardings crash with a prefix-pytree mismatch at the next
+            # update()).
+            self._taylor_saliency = w
         elif kind == "loupe":
             return  # LOUPE prunes via its probability mask, not here
         else:

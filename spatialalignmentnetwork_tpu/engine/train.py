@@ -68,6 +68,15 @@ def build_cfg(args) -> Config:
         # the differentiable soft-sigmoid sample so gradients reach the
         # mask logits (csmodel._prepare; reference masks.py:185-188)
         assert args.mask == "loupe", "--learn_mask requires --mask loupe"
+        if args.reg == "GAN-Only":
+            # GRAD_NETS gives net_mask gradients only in regimes that run
+            # net_R; under GAN-Only the soft stochastic sampling would
+            # resample fresh k-space noise every step while the logits
+            # stay frozen — 'learning' would be silently inert
+            raise SystemExit(
+                "--learn_mask is inert under --reg GAN-Only (no recon "
+                "loss reaches the mask logits); use None/Rec/Mixed"
+            )
         cfg.learn_mask = True
     if getattr(args, "net_scale", "full") == "tiny":
         # reduced architecture for CI / smoke runs; persisted in the ckpt
@@ -133,6 +142,15 @@ def main(args):
             f"global batch {args.batch_size} must divide over "
             f"{n_proc} processes"
         )
+        # the multi-host set_input path shards the GLOBAL batch over every
+        # device (parallel/mesh.shard_batch_multihost) with no unsharded
+        # fallback — an indivisible batch would die mid-run with a tiling
+        # error at the first step, so refuse it loudly at startup
+        assert args.batch_size % jax.device_count() == 0, (
+            f"global batch {args.batch_size} must divide over "
+            f"{jax.device_count()} devices ({n_proc} processes x "
+            f"{jax.local_device_count()} local)"
+        )
 
     print(args)
     for path in [args.logdir, args.logdir + "/res", args.logdir + "/ckpt"]:
@@ -164,7 +182,11 @@ def main(args):
         else:
             ckpt = args.resume
             print("will load specified ckpt from:", ckpt)
-        net = CSModel(ckpt=ckpt, cfg=cfg, objects=args.load_nets)
+        # thread --seed through the warm-start path too: rebuild-time
+        # randomness (mask draws, init of nets NOT in --load_nets) must
+        # honor the user's seed, not silently default to 0
+        net = CSModel(ckpt=ckpt, cfg=cfg, objects=args.load_nets,
+                      seed=getattr(args, "seed", None) or 0)
     else:
         assert args.load_nets is None
         print("training from scratch...")

@@ -134,3 +134,34 @@ def test_gan_regime_batch_one_raises():
     net.set_input(full, aux)
     with pytest.raises(ValueError, match="forwardG crossover"):
         net.update()
+
+
+def test_taylor_prune_keeps_cached_dp_steps_valid():
+    """prune() must NOT change the state pytree structure: under
+    --data_parallel the cached jitted steps carry in_shardings built from
+    the pre-prune tree, and a structure change (the old code grew
+    params['net_mask'] by a 'weight' key) crashes the next update() with
+    a prefix-pytree mismatch. The saliency diagnostic must still surface
+    in get_vis('histograms')."""
+    import jax
+    from spatialalignmentnetwork_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_cfg("None")
+    cfg.mask = "taylor"
+    net = CSModel(cfg=cfg)
+    net.distribute(make_mesh(len(jax.devices())))
+    full, aux = _batch(seed=5, n=8)
+    net.set_input(full, aux)
+    net.update()  # caches the sharded train step
+    structure_before = jax.tree_util.tree_structure(net.state)
+    net.set_input(*_batch(seed=6, n=8))
+    net.taylor_step()
+    net.prune(2)
+    assert jax.tree_util.tree_structure(net.state) == structure_before
+    net.set_input(*_batch(seed=7, n=8))
+    net.update()  # the CACHED step must still accept the pruned state
+    assert np.isfinite(net.get_vis("scalars")["scalars"]["loss_all"])
+    hist = net.get_vis("histograms")["histograms"]
+    assert "weights" in hist and hist["weights"]["values"].shape == (
+        cfg.shape,
+    )
