@@ -109,6 +109,21 @@ class Loader:
     def __iter__(self):
         q = queue.Queue(maxsize=self.prefetch_batches)
         stop = object()
+        cancel = threading.Event()
+
+        def put(item):
+            """Bounded put that gives up once the consumer is gone —
+            a plain q.put would block forever when the iterator is
+            abandoned mid-epoch (e.g. train.py's intel_stop break),
+            pinning the producer thread + its fetched batches for the
+            rest of the process."""
+            while not cancel.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             # keep a bounded window of in-flight fetches so memory stays
@@ -122,21 +137,35 @@ class Loader:
                 window = deque()
                 with ThreadPoolExecutor(self.num_workers) as ex:
                     for idx in self._batches():
+                        if cancel.is_set():
+                            return
                         window.append(ex.submit(self._fetch, idx))
                         while len(window) >= self.num_workers:
-                            q.put(window.popleft().result())
+                            if not put(window.popleft().result()):
+                                return
                     while window:
-                        q.put(window.popleft().result())
-                q.put(stop)
+                        if not put(window.popleft().result()):
+                            return
+                put(stop)
             except BaseException as e:  # noqa: BLE001 — relayed, not hidden
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND on abandonment (GeneratorExit):
+            # release the producer, then drain whatever it already queued
+            cancel.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass

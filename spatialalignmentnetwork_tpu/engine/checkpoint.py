@@ -154,13 +154,20 @@ if __name__ == "__main__":
     #   python -m ...engine.checkpoint CKPT [OUT]
     # with OUT: load CKPT and save a fresh copy at OUT; without: rewrite
     # CKPT in place (normalizes any loadable layout to the native one).
-    import shutil
     import sys
 
     src = sys.argv[1]
     ckpt = ckpt_load(src)
     if len(sys.argv) >= 3:
         ckpt_save(ckpt, sys.argv[2])
-    else:
-        shutil.rmtree(src)
+    elif os.path.isdir(src):
+        # ckpt_save overwrites directories atomically (tmp + .old-save
+        # swap) — deleting first would re-open the data-loss window its
+        # docstring hardens against
         ckpt_save(ckpt, src)
+    else:
+        # legacy single-FILE torch checkpoint: write the native directory
+        # layout beside it first, remove the file only after success
+        ckpt_save(ckpt, src + ".repack")
+        os.remove(src)
+        os.replace(src + ".repack", src)

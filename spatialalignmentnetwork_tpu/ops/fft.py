@@ -67,7 +67,12 @@ def _use_matmul(n_h, n_w):
     if _FFT_IMPL == "xla":
         return False
     if _FFT_IMPL == "matmul":
-        return max(n_h, n_w) <= 2048
+        # an explicitly forced impl is honored unconditionally (like
+        # 'xla' above): silently falling back past a size heuristic
+        # would let a strict-parity or A/B run measure the wrong path
+        # and pass vacuously. The O(n^2) cost past ~2048 is the
+        # requester's informed choice; only 'auto' applies the heuristic.
+        return True
     # auto: matmul-DFT on TPU backends (measured 2.4x the native FFT),
     # native elsewhere (CPU FFT beats O(n^2) matmuls). 'axon' is the
     # relayed-TPU backend — same dispatch convention as the other auto

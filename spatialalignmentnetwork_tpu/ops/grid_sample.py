@@ -89,11 +89,23 @@ def grid_sample(
     'jnp' (always gather), 'pallas' (always the kernel, interpreted off-TPU).
     """
     assert not align_corners, "only align_corners=False is supported"
+    if jnp.iscomplexobj(input):
+        # sample real/imag planes separately (torch grid_sample is also
+        # real-only — the reference splits at the call site, augment.py:
+        # 62-64); previously complex input fell through to the jnp path
+        # and died on jnp.floor(complex)
+        re = grid_sample(input.real, grid, padding_mode, align_corners, impl)
+        im = grid_sample(input.imag, grid, padding_mode, align_corners, impl)
+        return jax.lax.complex(re, im)
+    if not jnp.issubdtype(input.dtype, jnp.floating):
+        raise TypeError(
+            f"grid_sample needs a float (or complex) image, got "
+            f"{input.dtype}"
+        )
     impl = impl or os.environ.get("SAN_TPU_GRID_SAMPLE", "auto")
     use_pallas = impl == "pallas" or (
         impl == "auto"
         and jax.default_backend() in ("tpu", "axon")
-        and not jnp.iscomplexobj(input)
         and grid.shape[1] % 2 == 0
     )
     if use_pallas:

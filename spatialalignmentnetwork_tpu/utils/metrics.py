@@ -82,7 +82,13 @@ def dice(gt, pred, label=None):
     a = gt.astype(bool) if label is None else np.equal(gt, label)
     b = pred.astype(bool) if label is None else np.equal(pred, label)
     hits = np.count_nonzero(a & b)
-    return float(2.0 * hits / (np.count_nonzero(a) + np.count_nonzero(b)))
+    denom = np.count_nonzero(a) + np.count_nonzero(b)
+    if denom == 0:
+        # two empty masks overlap perfectly by convention (the raw
+        # formula is 0/0; a per-label sweep over background-only slices
+        # must not die on ZeroDivisionError)
+        return 1.0
+    return float(2.0 * hits / denom)
 
 
 def _entropy(p):

@@ -28,17 +28,29 @@ def trace(logdir):
 
 
 def measure(fn, args, repeat=50, warmup=3):
-    import jax
+    """Mean wall time per call, anchored on a device->host scalar readback.
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(repeat):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeat
+    block_until_ready is NOT a valid anchor on the tunneled TPU backend
+    (it acks before execution finishes — see bench.py, which this
+    mirrors); a readback of the last output forces everything queued on
+    the stream. Two run lengths strip the per-measurement fixed cost
+    (dispatch + readback RTT) marginally, like bench.py."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(jnp.sum(jnp.abs(leaf)))  # the readback anchor
+        return time.perf_counter() - t0
+
+    run(max(warmup, 1))
+    t_short = min(run(repeat) for _ in range(2))
+    t_long = min(run(2 * repeat) for _ in range(2))
+    return max(t_long - t_short, 1e-9) / repeat
 
 
 def flops_of(fn, *args):

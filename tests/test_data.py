@@ -265,3 +265,31 @@ def test_zero_max_volume_rejected(tmp_path):
         h5.attrs["acquisition"] = "T1"
     with pytest.raises(ValueError, match="max attr is 0"):
         VolumeDataset(path)
+
+
+def test_loader_abandoned_iterator_releases_producer(data_dir):
+    """Breaking out of a Loader mid-epoch (train.py's intel_stop) must not
+    leave the producer thread blocked on q.put holding fetched batches."""
+    import gc
+    import threading
+    import time
+
+    _, csv = data_dir
+    vols = get_paired_volume_datasets(str(csv), protocals=["T2", "T1"], crop=16)
+    cat = ConcatDataset(vols)
+    before = set(threading.enumerate())
+    loader = Loader(cat, batch_size=1, shuffle=False, drop_last=True,
+                    prefetch_batches=1, num_workers=2)
+    it = iter(loader)
+    next(it)  # producer is now alive and blocked filling the queue
+    it.close()  # abandonment: GeneratorExit -> finally -> cancel + drain
+    del it
+    gc.collect()
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [t for t in set(threading.enumerate()) - before
+                  if t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread(s) still alive: {leaked}"

@@ -97,3 +97,19 @@ def test_center_crop_crop_and_pad():
     # jnp input path
     yj = center_crop(jnp.asarray(x), (4, 4))
     np.testing.assert_array_equal(np.asarray(yj), y)
+
+
+def test_forced_matmul_honored_past_size_heuristic():
+    """set_fft_impl('matmul') must be honored unconditionally: a silent
+    fallback past the 2048 auto-heuristic would let a strict-parity or
+    A/B run measure the XLA path and pass vacuously."""
+    from spatialalignmentnetwork_tpu.ops import fft as F
+
+    old = F._FFT_IMPL
+    try:
+        F.set_fft_impl("matmul")
+        assert F.active_fft_impl(4096, 4096) == "matmul"
+        F.set_fft_impl("xla")
+        assert F.active_fft_impl(64, 64) == "xla"
+    finally:
+        F.set_fft_impl(old)

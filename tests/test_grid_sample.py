@@ -1,5 +1,6 @@
 """Parity tests for affine_grid / grid_sample vs torch (align_corners=False)."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn.functional as F
@@ -93,3 +94,30 @@ def test_warp_complex():
     grid = G.identity_grid((1, 1, 8, 8))
     out = np.asarray(G.warp(jnp.asarray(img), grid))
     np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_grid_sample_complex_input_planar_split():
+    """Complex images sample as independent real/imag planes (torch
+    grid_sample is real-only; the reference splits at augment.py:62-64 —
+    the op does the split itself instead of crashing on jnp.floor)."""
+    rng = np.random.default_rng(3)
+    img = (rng.random((2, 1, 12, 12)) + 1j * rng.random((2, 1, 12, 12))
+           ).astype(np.complex64)
+    grid = jnp.asarray(
+        rng.uniform(-1.05, 1.05, (2, 12, 12, 2)).astype(np.float32)
+    )
+    out = G.grid_sample(jnp.asarray(img), grid, impl="jnp")
+    want_re = G.grid_sample(jnp.asarray(img.real), grid, impl="jnp")
+    want_im = G.grid_sample(jnp.asarray(img.imag), grid, impl="jnp")
+    assert jnp.iscomplexobj(out)
+    np.testing.assert_allclose(np.asarray(out.real), np.asarray(want_re),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.imag), np.asarray(want_im),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_grid_sample_integer_input_rejected():
+    img = jnp.zeros((1, 1, 8, 8), jnp.int32)
+    grid = jnp.zeros((1, 8, 8, 2), jnp.float32)
+    with pytest.raises(TypeError, match="float"):
+        G.grid_sample(img, grid, impl="jnp")

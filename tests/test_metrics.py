@@ -83,3 +83,12 @@ def test_jax_metrics_match_numpy():
 def test_accepts_torch_and_jax_arrays():
     gt, pred = _pair(7)
     assert abs(M.psnr(torch.from_numpy(gt), pred) - M.psnr(gt, pred)) < 1e-9
+
+
+def test_dice_both_empty_is_one():
+    """Two empty masks overlap perfectly by convention — the raw 0/0 must
+    not raise (per-label sweeps hit background-only slices routinely)."""
+    gt = np.zeros((1, 1, 4, 4), np.int32)
+    pred = np.zeros((1, 1, 4, 4), np.int32)
+    assert M.dice(gt, pred, label=3) == 1.0
+    assert M.dice(gt, pred) == 1.0  # both all-background

@@ -433,3 +433,41 @@ def test_netd_parity():
                    train=False)
     )
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_repack_cli_normalizes_both_layouts(tmp_path):
+    """The in-place repack CLI (python -m ...engine.checkpoint CKPT) must
+    handle BOTH loadable layouts without a pre-save delete: a directory
+    is overwritten atomically by ckpt_save; a legacy single torch FILE
+    (which shutil.rmtree used to crash on) is replaced only after the
+    fresh directory is fully written."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    ref_dir, pruned, tR = _build_reference_ckpt_dir(tmp_path)
+    whole = {}
+    for name in ("net_R", "net_G", "net_D", "net_mask"):
+        with np.load(ref_dir / name, allow_pickle=False) as z:
+            whole[name] = {k: torch.from_numpy(z[k]) for k in z.files}
+    with open(ref_dir / "config") as f:
+        whole["config"] = json.load(f)
+    legacy = tmp_path / "legacy_repack.pt"
+    torch.save(whole, str(legacy))
+
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    for target in (str(legacy), str(ref_dir)):
+        proc = subprocess.run(
+            [sys.executable, "-m",
+             "spatialalignmentnetwork_tpu.engine.checkpoint", target],
+            env=env, cwd=repo, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-1500:]
+        assert os.path.isdir(target)  # normalized to the native dir layout
+    _assert_loaded_model_matches_reference(
+        CSModel(ckpt=str(legacy)), pruned, tR
+    )
