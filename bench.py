@@ -221,12 +221,22 @@ def guard_backend_alive(metric, probe_timeout_s=180, total_timeout_s=2700):
         )
         os._exit(0)
 
+    # the cap is overridable (SAN_BENCH_WATCHDOG_S): a healthy-but-slow
+    # platform (e.g. --platform cpu at the b128 TPU defaults) can
+    # legitimately exceed it, and the verdict must not claim 'hung' as
+    # the only possibility
+    total_timeout_s = int(
+        os.environ.get("SAN_BENCH_WATCHDOG_S", total_timeout_s)
+    )
+
     def _watchdog():
         time.sleep(total_timeout_s)
         _emit_unreachable(
             metric,
             f"benchmark exceeded {total_timeout_s}s wall clock: backend "
-            "hung mid-run, partial timings discarded",
+            "hung mid-run OR this platform/config is too slow for the "
+            "watchdog — partial timings discarded; shrink --batch/--iters "
+            "or raise SAN_BENCH_WATCHDOG_S for a slow-but-healthy platform",
         )
         os._exit(0)
 
@@ -398,20 +408,22 @@ def main():
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "f32"])
-    # default None: leave the SAN_TPU_FFT env setting (or 'auto') in
-    # effect instead of silently clobbering it
     p.add_argument("--planar", type=str, default="auto",
                    choices=["auto", "on", "off"],
-                   help="planar-NHWC VarNet cascade layout (auto: off — "
-                        "measured 8%% slower than the complex-NCHW path at "
-                        "b128 on the v5e, docs/perf_ab_r03.jsonl)")
+                   help="planar-NHWC VarNet cascade layout (auto: the "
+                        "SAN_TPU_PLANAR env lever, default off — measured "
+                        "8%% slower than the complex-NCHW path at b128 on "
+                        "the v5e, docs/perf_ab_r03.jsonl)")
+    # default None: leave the SAN_TPU_FFT env setting (or 'auto') in
+    # effect instead of silently clobbering it
     p.add_argument("--fft", type=str, default=None,
                    choices=["auto", "xla", "matmul"])
     p.add_argument("--s2d", type=int, default=None,
                    help="UNet levels executed in the space-to-depth layout "
-                        "(models/s2d.py MXU lane lever); default 0 — "
-                        "measured 24-35%% slower on this bandwidth-bound "
-                        "backend (docs/perf_ab_r03.jsonl)")
+                        "(models/s2d.py MXU lane lever); default: the "
+                        "SAN_TPU_S2D env lever, else 0 — measured 24-35%% "
+                        "slower on this bandwidth-bound backend "
+                        "(docs/perf_ab_r03.jsonl)")
     # the sandbox sitecustomize overrides JAX_PLATFORMS, so an env var
     # cannot force a platform — mirror train/eval's --platform flag
     p.add_argument("--platform", type=str, default=None,
@@ -454,8 +466,25 @@ def main():
     num_low = int(shape * sparsity * 0.32)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    planar = False if args.planar == "auto" else args.planar == "on"
-    s2d = args.s2d if args.s2d is not None else 0
+    # resolve exactly like the serving engine (csmodel.py): 'auto' defers
+    # to the SAN_TPU_* env levers so `SAN_TPU_PLANAR=1 python bench.py`
+    # benchmarks the same path a SAN_TPU_PLANAR=1 serving run executes
+    from spatialalignmentnetwork_tpu.engine.csmodel import (
+        _parse_bool_lever, _parse_level_lever,
+    )
+
+    planar = _parse_bool_lever(
+        "--planar/SAN_TPU_PLANAR",
+        os.environ.get("SAN_TPU_PLANAR", "auto")
+        if args.planar == "auto" else args.planar,
+        auto=False,
+    )
+    s2d = _parse_level_lever(
+        "--s2d/SAN_TPU_S2D",
+        os.environ.get("SAN_TPU_S2D", "auto")
+        if args.s2d is None else args.s2d,
+        auto=0,
+    )
     net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
                  pools=4, use_ref=True, planar=planar, s2d_levels=s2d,
                  dtype=dtype)

@@ -4,7 +4,7 @@
 Runs anywhere (forces CPU unless --platform given); demonstrates the whole
 surface: data prep -> train CLI -> checkpoint -> eval CLI -> metrics.
 
-    python examples/quickstart.py [--steps N] [--platform cpu|tpu]
+    python examples/quickstart.py [--epochs N] [--platform cpu|tpu]
 """
 
 import argparse

@@ -16,7 +16,6 @@ Usage: python scripts/bench_components.py [--batch N] [--iters N] [--nets]
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -24,20 +23,7 @@ sys.path.insert(0, __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 
-def marginal_time(make_chain, args, iters, repeats=2):
-    """(t_2N - t_N)/N via scalar-readback-anchored timing."""
-    short, long = make_chain(iters), make_chain(2 * iters)
-    float(short(*args)), float(long(*args))  # compile + warm
-
-    def t(fn):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return max(t(long) - t(short), 1e-9) / iters
+from spatialalignmentnetwork_tpu.utils.timing import marginal_time  # noqa: E402
 
 
 def per_network_report(args):

@@ -13,7 +13,6 @@ Prints one JSON line per probe.
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -21,19 +20,7 @@ sys.path.insert(0, __import__("os").path.dirname(
     __import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 
-def marginal_time(make_chain, args, iters, repeats=3):
-    short, long = make_chain(iters), make_chain(2 * iters)
-    float(short(*args)), float(long(*args))  # compile + warm
-
-    def t(fn):
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(fn(*args))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    return max(t(long) - t(short), 1e-9) / iters
+from spatialalignmentnetwork_tpu.utils.timing import marginal_time  # noqa: E402
 
 
 def main():
@@ -105,21 +92,31 @@ def main():
         make, a = chain(f, xi)
         results["conv_int8"] = marginal_time(make, a, args.iters)
 
-    # -- 4. transpose NHWC<->NCHW round trip (the NormUnet boundary cost)
+    # -- 4. transpose NHWC<->NCHW round trip (the NormUnet boundary cost).
+    # optimization_barrier between the two: without it the pair is the
+    # identity permutation and XLA cancels it entirely (and any
+    # elementwise op in between commutes with transposes, so it cannot
+    # anchor them either) — the probe would time a no-op.
     if want("transpose_pair"):
-        f = lambda x: jnp.transpose(
-            jnp.transpose(x, (0, 3, 1, 2)), (0, 2, 3, 1))
+        def f(x):
+            t = jax.lax.optimization_barrier(jnp.transpose(x, (0, 3, 1, 2)))
+            return jnp.transpose(t, (0, 2, 3, 1))
         make, a = chain(f, x_nhwc)
         results["transpose_pair"] = marginal_time(make, a, args.iters)
 
-    # -- 5. complex pack/unpack round trip ([B,1,H,W]c64 <-> 2ch planar)
+    # -- 5. complex pack/unpack round trip ([B,1,H,W]c64 <-> 2ch planar).
+    # H2D goes through utils.transfer (complex64 DMA is UNIMPLEMENTED on
+    # the relay backend); the barrier pins the concat so XLA's
+    # slice-of-concat forwarding can't delete the pack being measured.
     if want("complex_roundtrip"):
-        xc = jnp.asarray(
+        from spatialalignmentnetwork_tpu.utils.transfer import to_device
+
+        xc = to_device(
             (rng.standard_normal((B, 1, H, W))
              + 1j * rng.standard_normal((B, 1, H, W))).astype(np.complex64))
         def f(x):
             pl = jnp.concatenate([x.real, x.imag], axis=1)
-            pl = pl * 1.0000001
+            pl = jax.lax.optimization_barrier(pl * 1.0000001)
             return pl[:, :1] + 1j * pl[:, 1:]
         def make(n):
             @jax.jit
