@@ -131,10 +131,11 @@ def _backend_probe_tflops(iters=24, size=4096):
 
 
 def _readback_time(fn, *args):
-    """Wall time of fn(*args) anchored on a host readback of its scalar."""
-    t0 = time.perf_counter()
-    float(fn(*args))
-    return time.perf_counter() - t0
+    """Wall time of fn(*args) anchored on a host readback of its scalar
+    (shared implementation: utils/timing.py, also used by the scripts)."""
+    from spatialalignmentnetwork_tpu.utils.timing import readback_time
+
+    return readback_time(fn, *args)
 
 
 def _last_recorded(metric):
