@@ -920,12 +920,14 @@ class CSModel:
                     vis["images"][k] = np.asarray(v)
         if content in ("histograms", None):
             vis["histograms"] = {}
-            w = self.state["params"]["net_mask"].get("weight")
+            # taylor saliency lives host-side (prune() must not grow the
+            # params pytree — cached sharded steps depend on its
+            # structure) and is fresher than any weight slot a taylor
+            # checkpoint load recreated; learnable kinds only ever have
+            # the params weight
+            w = getattr(self, "_taylor_saliency", None)
             if w is None:
-                # taylor saliency lives host-side (prune() must not grow
-                # the params pytree — cached sharded steps depend on its
-                # structure)
-                w = getattr(self, "_taylor_saliency", None)
+                w = self.state["params"]["net_mask"].get("weight")
             if w is not None:
                 vis["histograms"]["weights"] = {"values": np.asarray(w)}
         return vis
@@ -1087,6 +1089,16 @@ class CSModel:
                 entry["stats"] = self.state["stats"][name]
             if name == "net_mask":
                 entry["pruned"] = np.asarray(self.state["pruned"])
+                sal = getattr(self, "_taylor_saliency", None)
+                if sal is not None:
+                    # Taylor saliency lives host-side (prune() must not
+                    # grow the live params pytree) but checkpoints as
+                    # net_mask.weight like the reference (masks.py:228);
+                    # load() recreates the slot before any step caching
+                    entry["params"] = dict(
+                        self.state["params"]["net_mask"],
+                        weight=np.asarray(sal, dtype=np.float32),
+                    )
             ckpt[name] = entry
         if with_opt:
             from flax import serialization
