@@ -293,3 +293,48 @@ def test_loader_abandoned_iterator_releases_producer(data_dir):
             break
         time.sleep(0.05)
     assert not leaked, f"producer thread(s) still alive: {leaked}"
+
+
+def test_volumefolder_legacy_path(tmp_path):
+    """Legacy folder-of-npy datasets (reference volumefolder.py:28-111):
+    real+imag stacks load as complex64, q trims symmetrically, and
+    adjacent complementary-protocol volumes pair up."""
+    import json as _json
+
+    from spatialalignmentnetwork_tpu.data import volumefolder as VF
+
+    rng = np.random.default_rng(0)
+
+    def mk_volume(name, protocal, n_slices=6, hw=12):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "description.json").write_text(
+            _json.dumps({"acquisition": protocal})
+        )
+        slices = []
+        for s in range(n_slices):
+            arr = rng.standard_normal((2, hw, hw)).astype(np.float32)
+            np.save(d / f"{s:03d}.npy", arr)
+            slices.append(arr)
+        return slices
+
+    s_pd = mk_volume("v000", "CORPD_FBK")
+    mk_volume("v001", "CORPDFS_FBK")
+    mk_volume("v002", "CORPD_FBK")  # unpaired trailing volume
+
+    vol = VF.VolumeDataset(str(tmp_path / "v000"), crop=8)
+    assert len(vol) == 6
+    item = vol[0]
+    assert item.shape == (1, 8, 8) and item.dtype == np.complex64
+    want = (s_pd[0][0] + 1j * s_pd[0][1])[2:10, 2:10]
+    np.testing.assert_allclose(item[0], want, rtol=1e-6)
+
+    # q trimming drops round(n*q) slices from both ends
+    assert len(VF.VolumeDataset(str(tmp_path / "v000"), q=0.2)) == 4
+
+    datasets = VF.get_aligned_volumes(str(tmp_path))
+    assert len(datasets) == 1  # v000+v001 pair; v002 has no partner
+    pair = datasets[0][1]
+    assert len(pair) == 2
+    assert all(p.shape == (1, 12, 12) for p in pair)
+    assert all(p.dtype == np.complex64 for p in pair)
