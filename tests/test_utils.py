@@ -90,3 +90,22 @@ def test_device_prefetch_order():
     loader = Loader(ds, batch_size=1, shuffle=False)
     out = [int(np.asarray(b[0])[0, 0, 0, 0]) for b in device_prefetch(iter(loader))]
     assert out == [0, 1, 2, 3, 4]
+
+def test_marginal_timing_strips_fixed_cost():
+    """utils.timing.marginal_time subtracts the per-call fixed cost: with
+    a fake chain costing fixed + n*per_iter, the estimate recovers
+    per_iter, not (fixed + n*per_iter)/n."""
+    import time as _time
+
+    from spatialalignmentnetwork_tpu.utils.timing import marginal_time
+
+    FIXED, PER_ITER = 0.05, 0.004
+
+    def make_chain(n):
+        def run():
+            _time.sleep(FIXED + n * PER_ITER)
+            return 0.0
+        return run
+
+    est = marginal_time(make_chain, (), iters=5, repeats=1)
+    assert abs(est - PER_ITER) < PER_ITER * 0.5, est
