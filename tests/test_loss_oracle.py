@@ -17,7 +17,12 @@ import jax.numpy as jnp
 
 if not os.path.isdir("/root/reference"):
     pytest.skip("reference repo not mounted", allow_module_level=True)
-sys.path.insert(0, "/root/reference")
+# APPEND (not insert(0)): the reference dir holds generically-named
+# modules (model, masks, train, eval, ...); putting it FIRST on sys.path
+# would shadow real modules for the whole pytest process. Appended, real
+# modules win and only names nothing else provides resolve to the oracle.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 import ssimloss as ref_ssim  # noqa: E402
 import lnccloss as ref_lncc  # noqa: E402
 import miloss as ref_mi      # noqa: E402

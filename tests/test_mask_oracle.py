@@ -19,7 +19,12 @@ import torch
 
 if not os.path.isdir("/root/reference"):
     pytest.skip("reference repo not mounted", allow_module_level=True)
-sys.path.insert(0, "/root/reference")
+# APPEND (not insert(0)): the reference dir holds generically-named
+# modules (model, masks, train, eval, ...); putting it FIRST on sys.path
+# would shadow real modules for the whole pytest process. Appended, real
+# modules win and only names nothing else provides resolve to the oracle.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 import masks as ref_masks  # noqa: E402
 
 from spatialalignmentnetwork_tpu.ops.masks import (  # noqa: E402
@@ -132,9 +137,6 @@ def test_loupe_init_and_sample_match_reference(monkeypatch):
     np.testing.assert_allclose(got_pmask, want_pmask, rtol=1e-5, atol=1e-6)
 
     # hard-sample pruned set with the same threshold draw matches
-    class _Key:
-        pass
-
     import jax
 
     # bypass jax uniform: call the pure math with the oracle's thresh by

@@ -230,9 +230,35 @@ def test_spectral_norm_constrains_weights():
             x, train=True, mutable=["batch_stats"],
         )
         stats = upd["batch_stats"]
-    # sigma estimates stored in batch_stats
-    leaves = jax.tree_util.tree_leaves(stats)
-    assert len(leaves) > 0
+    # the constraint itself, not just that state exists: after power
+    # iterations every stored (u, v) pair's sigma estimate approaches the
+    # kernel's TRUE top singular value, so the applied weight w/sigma is
+    # ~1-Lipschitz (gan.py:59-81 torch spectral_norm semantics)
+    from spatialalignmentnetwork_tpu.engine.checkpoint import flatten_tree
+
+    params_flat = flatten_tree(vs["params"])
+    stats_flat = flatten_tree(stats)
+    checked = 0
+    for key, u in stats_flat.items():
+        if not key.endswith("/u"):
+            continue
+        base = key[: -len("/u")]
+        v = np.asarray(stats_flat[base + "/v"])
+        kernel = np.asarray(params_flat[base + "/kernel"])
+        kh, kw, cin, cout = kernel.shape
+        w_mat = kernel.transpose(3, 2, 0, 1).reshape(cout, kh * kw * cin)
+        sigma_est = float(np.asarray(u) @ w_mat @ v)
+        sigma_true = float(np.linalg.svd(w_mat, compute_uv=False)[0])
+        # 5 power iterations on xavier-init kernels converge well
+        assert 0.8 * sigma_true < sigma_est <= sigma_true * (1 + 1e-5), (
+            base, sigma_est, sigma_true,
+        )
+        # the applied weight's top singular value is ~1
+        assert abs(
+            float(np.linalg.svd(w_mat / sigma_est, compute_uv=False)[0]) - 1.0
+        ) < 0.25
+        checked += 1
+    assert checked > 0
 
 
 def test_libunet_and_resnet_shapes():

@@ -30,9 +30,13 @@ def test_varnet_multicoil_forward_and_grad():
     # rss collapses coils to a single channel
     assert out.shape == (2, 1, 16, 16)
     g = jax.grad(lambda p: jnp.sum(net.apply(p, k, mask, ref, 4) ** 2))(params)
-    assert all(
-        np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g)
-    )
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(g)]
+    assert all(np.isfinite(l).all() for l in leaves)
+    # non-zero, not just finite: a stop-gradient regression in the
+    # multicoil path (e.g. a detached sens map) would zero every leaf and
+    # still be 'finite' (the single-coil test asserts the same)
+    gsum = sum(float(np.abs(l).sum()) for l in leaves)
+    assert gsum > 0.0, "all multicoil gradients are zero"
 
 
 @pytest.mark.slow

@@ -93,14 +93,11 @@ def test_unet_s2d_matches_plain(levels):
     params = plain.init(jax.random.PRNGKey(0), x)
     params_s2d = s2d.init(jax.random.PRNGKey(0), x)
     # one parameter tree serves both layouts: same paths, same values
-    jax.tree_util.tree_all(
-        jax.tree_util.tree_map(
-            lambda a, b: np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b)
-            ),
-            params, params_s2d,
-        )
-    )
+    la = jax.tree_util.tree_leaves(params)
+    lb = jax.tree_util.tree_leaves(params_s2d)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     y0 = plain.apply(params, x)
     y1 = s2d.apply(params, x)

@@ -18,8 +18,12 @@ REF = "/root/reference"
 pytestmark = pytest.mark.skipif(
     not __import__("os").path.isdir(REF), reason="reference repo not mounted"
 )
+# APPEND (not insert(0)): the reference dir holds generically-named
+# modules (model, masks, train, eval, ...); putting it FIRST on sys.path
+# would shadow real modules for the whole pytest process. Appended, real
+# modules win and only names nothing else provides resolve to the oracle.
 if REF not in sys.path:
-    sys.path.insert(0, REF)
+    sys.path.append(REF)
 
 import torch  # noqa: E402
 

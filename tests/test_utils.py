@@ -91,21 +91,25 @@ def test_device_prefetch_order():
     out = [int(np.asarray(b[0])[0, 0, 0, 0]) for b in device_prefetch(iter(loader))]
     assert out == [0, 1, 2, 3, 4]
 
-def test_marginal_timing_strips_fixed_cost():
+def test_marginal_timing_strips_fixed_cost(monkeypatch):
     """utils.timing.marginal_time subtracts the per-call fixed cost: with
     a fake chain costing fixed + n*per_iter, the estimate recovers
-    per_iter, not (fixed + n*per_iter)/n."""
-    import time as _time
+    per_iter exactly. Deterministic: the helper's clock is faked (a real
+    sleep-based version is scheduler-noise flaky on loaded CI boxes)."""
+    import types
 
-    from spatialalignmentnetwork_tpu.utils.timing import marginal_time
+    from spatialalignmentnetwork_tpu.utils import timing
 
     FIXED, PER_ITER = 0.05, 0.004
+    clock = [0.0]
+    fake_time = types.SimpleNamespace(perf_counter=lambda: clock[0])
+    monkeypatch.setattr(timing, "time", fake_time)
 
     def make_chain(n):
         def run():
-            _time.sleep(FIXED + n * PER_ITER)
+            clock[0] += FIXED + n * PER_ITER
             return 0.0
         return run
 
-    est = marginal_time(make_chain, (), iters=5, repeats=1)
-    assert abs(est - PER_ITER) < PER_ITER * 0.5, est
+    est = timing.marginal_time(make_chain, (), iters=5, repeats=2)
+    assert abs(est - PER_ITER) < 1e-12, est
