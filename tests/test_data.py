@@ -19,13 +19,10 @@ from spatialalignmentnetwork_tpu.data import augment as A
 
 
 def make_h5(path, protocal, shape=(4, 24, 24), seed=0, maxval=2.0):
-    rng = np.random.default_rng(seed)
-    img = rng.random(shape).astype(np.float32) * maxval
-    with h5py.File(path, "w") as h5:
-        h5.create_dataset("image", data=img)
-        h5.attrs["max"] = img.max()
-        h5.attrs["acquisition"] = protocal
-    return img
+    from tests.conftest import write_h5_volume
+
+    return write_h5_volume(path, protocal, shape=shape, seed=seed,
+                           maxval=maxval)
 
 
 @pytest.fixture

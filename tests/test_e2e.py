@@ -17,12 +17,9 @@ pytestmark = pytest.mark.slow
 
 
 def make_h5(path, protocal, shape=(4, 24, 24), seed=0):
-    rng = np.random.default_rng(seed)
-    img = rng.random(shape).astype(np.float32)
-    with h5py.File(path, "w") as h5:
-        h5.create_dataset("image", data=img)
-        h5.attrs["max"] = float(img.max())
-        h5.attrs["acquisition"] = protocal
+    from tests.conftest import write_h5_volume
+
+    write_h5_volume(path, protocal, shape=shape, seed=seed)
 
 
 @pytest.fixture(scope="module")
@@ -41,22 +38,29 @@ def workspace(tmp_path_factory):
     return root, csv
 
 
+def _targs(logdir, csv, **overrides):
+    """Canonical tiny train-CLI args; tests override only their deltas
+    (a shared literal keeps the 7 call sites from drifting apart)."""
+    base = dict(
+        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
+        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
+        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
+        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
+        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
+        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
+        net_scale="tiny",
+    )
+    base.update(overrides)
+    return argparse.Namespace(**base)
+
+
 def test_train_then_eval_cli(workspace):
     root, csv = workspace
     logdir = str(root / "log")
 
     from spatialalignmentnetwork_tpu.engine import train as train_cli
 
-    args = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="PBSpline", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny",
-    )
-    train_cli.main(args)
+    train_cli.main(_targs(logdir, csv, aux_aug="PBSpline"))
 
     best = os.path.join(logdir, "ckpt", "best.pt")
     assert os.path.isdir(best), "best checkpoint not written"
@@ -94,16 +98,8 @@ def test_train_cli_data_parallel(workspace):
     logdir = str(root / "log_dp")
     from spatialalignmentnetwork_tpu.engine import train as train_cli
 
-    args = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=8,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny", data_parallel=True, platform=None,
-    )
-    train_cli.main(args)
+    train_cli.main(_targs(logdir, csv, batch_size=8,
+                          data_parallel=True, platform=None))
     assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
 
 
@@ -115,16 +111,8 @@ def test_train_cli_native_cache(workspace):
     logdir = str(root / "log_nc")
     from spatialalignmentnetwork_tpu.engine import train as train_cli
 
-    args = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="Rec",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="PBSpline", prefetch=False, use_amp=False, force_gpu=True,
-        net_scale="tiny", native_cache=str(root / "nc"),
-    )
-    train_cli.main(args)
+    train_cli.main(_targs(logdir, csv, reg="Rec", aux_aug="PBSpline",
+                          prefetch=False, native_cache=str(root / "nc")))
     assert os.path.isdir(os.path.join(logdir, "ckpt", "best.pt"))
     # both split caches were compiled, one file per real protocol
     for split in ("train", "val"):
@@ -144,16 +132,7 @@ def test_train_cli_learn_mask_loupe(workspace):
     from spatialalignmentnetwork_tpu.engine import train as train_cli
     from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
 
-    args = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="loupe", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny", learn_mask=True,
-    )
-    train_cli.main(args)
+    train_cli.main(_targs(logdir, csv, mask="loupe", learn_mask=True))
 
     best = os.path.join(logdir, "ckpt", "best.pt")
     net = CSModel(ckpt=best)
@@ -177,16 +156,8 @@ def test_train_cli_prune_schedule_taylor(workspace):
     from spatialalignmentnetwork_tpu.engine import train as train_cli
     from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
 
-    args = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="taylor", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny", prune_every=2, prune_num=2,
-    )
-    train_cli.main(args)
+    train_cli.main(_targs(logdir, csv, mask="taylor",
+                          prune_every=2, prune_num=2))
 
     best = os.path.join(logdir, "ckpt", "best.pt")
     net = CSModel(ckpt=best)
@@ -216,16 +187,8 @@ def test_resume_from_latest(workspace):
     before = sorted(
         n for n in os.listdir(ckpt_dir) if n.startswith("ckpt_")
     )
-    args = argparse.Namespace(
-        logdir=logdir, resume="", load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny",
-    )
-    train_cli.main(args)  # resume="" picks the latest ckpt by mtime
+    # resume="" picks the latest ckpt by mtime
+    train_cli.main(_targs(logdir, csv, resume=""))
     # resumption actually happened: the resumed run parses iter_cnt from
     # the latest name and saves its final ckpt at a LATER iteration
     after = sorted(
@@ -243,16 +206,7 @@ def test_eval_cli_data_parallel_matches_solo(workspace):
     from spatialalignmentnetwork_tpu.engine import train as train_cli
     from spatialalignmentnetwork_tpu.engine import eval as eval_cli
 
-    targs = argparse.Namespace(
-        logdir=logdir, resume=None, load_nets=None, epoch=1, batch_size=2,
-        num_workers=2, lr=1e-4, intel_stop=1, reg="None",
-        smooth_weight=1000.0, gan_weight=0.1, gan_sim_weight=1.0,
-        sim_weight=1.0, mask="equispaced", sparsity=0.25, train=str(csv),
-        val=str(csv), crop=16, coils=1, protocals=["T2", "T1"],
-        aux_aug="None", prefetch=True, use_amp=False, force_gpu=True,
-        net_scale="tiny",
-    )
-    train_cli.main(targs)
+    train_cli.main(_targs(logdir, csv))
     best = os.path.join(logdir, "ckpt", "best.pt")
 
     def run(dp):

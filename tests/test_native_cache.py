@@ -15,13 +15,10 @@ pytestmark = pytest.mark.skipif(
 
 
 def _mk_h5(path, protocal, shape=(3, 20, 24), seed=0, maxval=3.0):
-    rng = np.random.default_rng(seed)
-    img = rng.random(shape).astype(np.float32) * maxval
-    with h5py.File(path, "w") as h5:
-        h5.create_dataset("image", data=img)
-        h5.attrs["max"] = float(img.max())
-        h5.attrs["acquisition"] = protocal
-    return img
+    from tests.conftest import write_h5_volume
+
+    return write_h5_volume(path, protocal, shape=shape, seed=seed,
+                           maxval=maxval)
 
 
 def test_build_and_assemble(tmp_path):

@@ -18,15 +18,13 @@ def workspace(tmp_path_factory):
     root = tmp_path_factory.mktemp("staged")
     data = root / "data"
     data.mkdir()
-    rng = np.random.default_rng(0)
+    from tests.conftest import write_h5_volume
+
     rows = []
     for v in range(2):
-        for proto in ("T1", "T2"):
-            img = rng.random((4, 24, 24)).astype(np.float32)
-            with h5py.File(data / f"p{v}_{proto}.h5", "w") as h5:
-                h5.create_dataset("image", data=img)
-                h5.attrs["max"] = float(img.max())
-                h5.attrs["acquisition"] = proto
+        for i, proto in enumerate(("T1", "T2")):
+            write_h5_volume(data / f"p{v}_{proto}.h5", proto,
+                            seed=2 * v + i)
         rows.append(f"p{v}_T1.h5,p{v}_T2.h5")
     csv = data / "pairs.csv"
     csv.write_text("\n".join(rows) + "\n")
