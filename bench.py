@@ -138,15 +138,17 @@ def _readback_time(fn, *args):
     return readback_time(fn, *args)
 
 
-def _last_recorded(metric):
+def _last_recorded(metric, docs_dir=None):
     """Most recent committed measurement of this metric from the repo's A/B
     logs — context for a suspect artifact, NOT a substitute measurement."""
     import glob
 
+    if docs_dir is None:
+        docs_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "docs")
     best = None
     for path in sorted(glob.glob(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "docs", "perf_ab_r*.jsonl")
+        os.path.join(docs_dir, "perf_ab_r*.jsonl")
     )):
         try:
             with open(path) as f:
@@ -158,7 +160,11 @@ def _last_recorded(metric):
                         rec = json.loads(line)
                     except ValueError:
                         continue
-                    if rec.get("metric") == metric and rec.get("value"):
+                    # Presence, not truthiness: a committed 0.0 is a real
+                    # measurement; suspect records are never context.
+                    if (rec.get("metric") == metric
+                            and rec.get("value") is not None
+                            and not rec.get("suspect")):
                         best = {"value": rec["value"], "source": path}
         except OSError:
             continue

@@ -12,14 +12,16 @@ the hot loop. The four batch policies (None/Rigid/BSpline/PBSpline —
 PBSpline deforms all modalities with ONE shared grid, train.py:35-59) are
 provided as `augment_batch`.
 
-Note: cubic upsampling uses jax.image.resize's Keys kernel (a=-0.5) while
-torch bicubic uses a=-0.75; the deformation-field distributions are
-statistically indistinguishable for this use (random smooth fields).
+Cubic upsampling of the control grid is torch-exact (Keys a=-0.75,
+half-pixel, replicate borders) via ops/bicubic.py — constant per-axis
+weight matrices contracted on the MXU, parity-tested against
+torch.nn.functional.interpolate(mode='bicubic').
 """
 
 import jax
 import jax.numpy as jnp
 
+from ..ops.bicubic import bicubic_resize2d
 from ..ops.grid_sample import affine_grid, warp as _warp_pad
 
 
@@ -54,7 +56,7 @@ def bspline_grid(key, batch_shape):
     n, _, h, w = batch_shape
     scale = 50
     ctrl = (jax.random.uniform(key, (n, 2, 9, 9)) - 0.5) * 2 / scale
-    dense = jax.image.resize(ctrl, (n, 2, h, w), method="bicubic")
+    dense = bicubic_resize2d(ctrl, h, w)
     return jnp.transpose(dense, (0, 2, 3, 1))
 
 

@@ -104,6 +104,11 @@ def ckpt_load(folder: str) -> dict:
     (torch key names); CSModel.load detects that shape and routes them
     through torch_compat conversion automatically.
     """
+    if not os.path.exists(folder) and os.path.isdir(folder + ".repack"):
+        # Finish an interrupted single-file re-pack (the __main__ CLI
+        # removes the legacy file before renaming the fresh directory over
+        # its name; a crash in that window leaves only NAME.repack).
+        os.replace(folder + ".repack", folder)
     if os.path.isfile(folder):
         return _load_torch_ckpt_file(folder)
     ckpt = {}

@@ -38,7 +38,16 @@ _IN_ONE_PASS = None
 def in_one_pass() -> bool:
     if _IN_ONE_PASS is not None:
         return _IN_ONE_PASS
-    return os.environ.get("SAN_TPU_IN", "onepass") == "onepass"
+    v = os.environ.get("SAN_TPU_IN", "onepass").strip().lower()
+    if v == "onepass":
+        return True
+    if v == "twopass":
+        return False
+    # Strict like the other SAN_TPU_* levers (engine/csmodel.py
+    # _parse_bool_lever): a typo must error, not silently pick a path.
+    raise ValueError(
+        f"SAN_TPU_IN: expected 'onepass' or 'twopass', got {v!r}"
+    )
 
 
 def instance_norm(

@@ -41,7 +41,16 @@ _PAIR_DECODER = None
 def pair_decoder() -> bool:
     if _PAIR_DECODER is not None:
         return _PAIR_DECODER
-    return os.environ.get("SAN_TPU_PAIRCONV", "1") == "1"
+    v = os.environ.get("SAN_TPU_PAIRCONV", "1").strip().lower()
+    # Strict like the other SAN_TPU_* levers (engine/csmodel.py
+    # _parse_bool_lever): a typo must error, not silently pick a path.
+    if v in ("1", "on", "true", "yes"):
+        return True
+    if v in ("0", "off", "false", "no", ""):
+        return False
+    raise ValueError(
+        f"SAN_TPU_PAIRCONV: expected an on/off value, got {v!r}"
+    )
 
 
 class Unet(nn.Module):

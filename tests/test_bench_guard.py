@@ -68,3 +68,19 @@ def test_unreachable_artifact_carries_last_recorded_context(capsys):
 
 def test_last_recorded_unknown_metric_is_none():
     assert bench._last_recorded("no_such_metric_ever") is None
+
+
+def test_last_recorded_presence_not_truthiness(tmp_path):
+    """A committed 0.0 is a real measurement (presence, not truthiness);
+    suspect records never become context."""
+    import json
+
+    log = tmp_path / "perf_ab_r09.jsonl"
+    log.write_text("\n".join([
+        json.dumps({"metric": "m_zero", "value": 0.0}),
+        json.dumps({"metric": "m_sus", "value": 123.0, "suspect": True}),
+        "not json",
+    ]) + "\n")
+    rec = bench._last_recorded("m_zero", docs_dir=str(tmp_path))
+    assert rec is not None and rec["value"] == 0.0
+    assert bench._last_recorded("m_sus", docs_dir=str(tmp_path)) is None

@@ -509,3 +509,48 @@ def test_perf_lever_parsing():
     assert _parse_level_lever("t", "auto", auto=0) == 0
     with pytest.raises(ValueError):
         _parse_level_lever("t", "deep", auto=0)
+
+
+def test_trace_time_env_levers_are_strict(monkeypatch):
+    """SAN_TPU_IN / SAN_TPU_PAIRCONV parse strictly like the cfg levers:
+    a typo'd value raises instead of silently picking a path (ADVICE r3)."""
+    from spatialalignmentnetwork_tpu.models import layers, unet
+
+    monkeypatch.setattr(layers, "_IN_ONE_PASS", None)
+    monkeypatch.setattr(unet, "_PAIR_DECODER", None)
+
+    monkeypatch.setenv("SAN_TPU_IN", "onepass")
+    assert layers.in_one_pass() is True
+    monkeypatch.setenv("SAN_TPU_IN", "twopass")
+    assert layers.in_one_pass() is False
+    monkeypatch.setenv("SAN_TPU_IN", "ONEPASS")
+    assert layers.in_one_pass() is True
+    monkeypatch.setenv("SAN_TPU_IN", "on")  # not a valid mode name
+    with pytest.raises(ValueError):
+        layers.in_one_pass()
+
+    monkeypatch.setenv("SAN_TPU_PAIRCONV", "on")
+    assert unet.pair_decoder() is True
+    monkeypatch.setenv("SAN_TPU_PAIRCONV", "off")
+    assert unet.pair_decoder() is False
+    monkeypatch.setenv("SAN_TPU_PAIRCONV", "maybe")
+    with pytest.raises(ValueError):
+        unet.pair_decoder()
+
+
+def test_interrupted_repack_recovers_on_load(tmp_path):
+    """A crash between os.remove(src) and os.replace in the single-file
+    re-pack CLI leaves only NAME.repack; ckpt_load finishes the rename."""
+    from spatialalignmentnetwork_tpu.engine import checkpoint as CK
+    from spatialalignmentnetwork_tpu.engine.config import Config
+
+    cfg = Config()
+    cfg.lr = 1e-4
+    target = str(tmp_path / "best.pt")
+    CK.ckpt_save({"net_X": {"w": np.arange(3.0)}, "config": cfg},
+                 target + ".repack")
+    assert not os.path.exists(target)
+
+    ckpt = CK.ckpt_load(target)
+    assert os.path.isdir(target) and not os.path.exists(target + ".repack")
+    np.testing.assert_array_equal(ckpt["net_X"]["w"], np.arange(3.0))

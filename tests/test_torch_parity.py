@@ -475,3 +475,27 @@ def test_repack_cli_normalizes_both_layouts(tmp_path):
     _assert_loaded_model_matches_reference(
         CSModel(ckpt=str(legacy)), pruned, tR
     )
+
+
+def test_bicubic_resize_parity():
+    """ops/bicubic.py matches torch interpolate(mode='bicubic',
+    align_corners=False) — the reference's control-grid upsample
+    (reference augment.py:45-46) — to f32 rounding, including the
+    replicate border guard and both up- and down-sampling."""
+    from spatialalignmentnetwork_tpu.ops.bicubic import bicubic_resize2d
+
+    rng = np.random.default_rng(7)
+    for (h, w), (oh, ow) in [
+        ((9, 9), (24, 24)),       # the live control-grid shape
+        ((9, 9), (320, 320)),     # flagship crop
+        ((9, 9), (352, 320)),     # non-square 1.1x crop
+        ((5, 7), (13, 29)),       # odd sizes
+        ((16, 16), (9, 11)),      # downsample (same kernel, no antialias)
+    ]:
+        x = rng.standard_normal((2, 2, h, w)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(x), size=(oh, ow), mode="bicubic",
+            align_corners=False,
+        ).numpy()
+        got = np.asarray(bicubic_resize2d(jnp.asarray(x), oh, ow))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
