@@ -335,3 +335,55 @@ def test_volumefolder_legacy_path(tmp_path):
     assert len(pair) == 2
     assert all(p.shape == (1, 12, 12) for p in pair)
     assert all(p.dtype == np.complex64 for p in pair)
+
+
+def test_volumefolder_pair_qc(tmp_path, capsys):
+    """MI pair-QC tool (reference volumefolder.py:113-163): aligned volumes
+    score higher MI than a shuffled mispair, CSV rows + summary print, and
+    side-by-side JPEGs land in the image dir."""
+    import json as _json
+
+    from spatialalignmentnetwork_tpu.data import volumefolder as VF
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0.1, 0.9, (4, 32, 32)).astype(np.float32)
+
+    def mk_volume(name, protocal, vol):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "description.json").write_text(
+            _json.dumps({"acquisition": protocal})
+        )
+        for s in range(vol.shape[0]):
+            np.save(d / f"{s:03d}.npy",
+                    np.stack([vol[s], np.zeros_like(vol[s])]))
+
+    # v000/v001: genuinely aligned pair (same anatomy, contrast shift)
+    mk_volume("v000", "CORPD_FBK", base)
+    mk_volume("v001", "CORPDFS_FBK", np.clip(0.8 * base + 0.05, 0, 1))
+    # v002/v003: "mispaired" — independent content
+    mk_volume("v002", "CORPD_FBK", base)
+    mk_volume("v003", "CORPDFS_FBK",
+              rng.uniform(0.1, 0.9, (4, 32, 32)).astype(np.float32))
+
+    img_dir = tmp_path / "imgs"
+    mis = VF.pair_qc(str(tmp_path), str(img_dir), crop=32)
+    assert len(mis) == 2
+    assert mis[0] > mis[1]  # aligned pair scores higher MI than mispair
+
+    out = capsys.readouterr().out.strip().splitlines()
+    # one CSV row per pair + final summary line
+    assert out[0].startswith("0,4,v000,v001,")
+    assert out[1].startswith("4,4,v002,v003,")
+    assert len(out[-1].split()) == 5
+    # 8 side-by-side JPEGs (4 slices x 2 pairs)
+    assert len(list(img_dir.glob("*.jpg"))) == 8
+
+    # qc_mi matches the reference formula on a hand case: identical inputs
+    # give MI == entropy of the marginal (up to eps smoothing)
+    # (16 bins: at 200 bins the finite-sample bias of an independent pair
+    # is O(bins²/2N) and swamps the signal at this sample count)
+    x = rng.uniform(0, 1, 4096)
+    m_same = VF.qc_mi(x, x, bins=16)
+    m_indep = VF.qc_mi(x, rng.uniform(0, 1, 4096), bins=16)
+    assert m_same > 1.0 and abs(m_indep) < 0.5
