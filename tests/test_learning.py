@@ -7,6 +7,7 @@ modest number of steps (measured headroom: ~34% over 120 steps).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,3 +35,93 @@ def test_rec_regime_learns():
         losses.append(float(net._aux["loss_sim"]))
     first, last = np.mean(losses[:10]), np.mean(losses[-10:])
     assert last < first * 0.85, (first, last)
+
+
+def _smooth_anatomy(n=8, shape=16, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random((n, 1, shape, shape)).astype(np.float32)
+    for _ in range(3):
+        base = (base + np.roll(base, 1, -1) + np.roll(base, 1, -2)) / 3
+    base = base / base.max()
+    full = base.astype(np.complex64)
+    aux = (base**2 / np.max(base**2)).astype(np.complex64)
+    aux_w, _ = augment(jnp.asarray(aux), jax.random.PRNGKey(seed))
+    return full, np.asarray(aux_w)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("reg", ["Mixed", "GAN-Only"])
+def test_gan_regimes_learn(reg):
+    """The GAN regimes (two-pass G-then-D update, spectral norm, BatchNorm
+    halves — the riskiest ported dynamics, reference model.py:217-259)
+    actually optimize over ~100 steps: the regime's similarity loss falls
+    and the hinge D/G losses stay bounded (no mode blow-up / NaN drift)."""
+    full, aux_w = _smooth_anatomy()
+    net = CSModel(cfg=tiny_cfg(reg), seed=1)
+    sim_key = "loss_sim" if reg == "Mixed" else "loss_gan_sim"
+    sims, others = [], []
+    for _ in range(100):
+        net.set_input(full, aux_w)
+        net.update()
+        sc = {k: float(v) for k, v in net._aux.items()
+              if k.startswith("loss_")}
+        sims.append(sc[sim_key])
+        others.append(sc)
+
+    # untrained spectral norm makes the first G outputs enormous
+    # (unconverged u/v, ~1e14 loss_gan_sim) — compare AFTER the power
+    # iteration settles (first ~10 steps) so the fall is a real
+    # optimization signal, not SN convergence
+    first, last = np.mean(sims[10:20]), np.mean(sims[-10:])
+    assert np.isfinite(last), sims[-10:]
+    assert last < first * 0.9, (reg, first, last)
+
+    # hinge-loss boundedness over the trailing steps: D terms are >= -1
+    # by construction; a diverging GAN shows up as exploding magnitudes
+    for sc in others[-20:]:
+        for k in ("loss_gan_G", "loss_gan_Dfake", "loss_gan_Dreal"):
+            assert np.isfinite(sc[k]) and abs(sc[k]) < 50.0, (k, sc[k])
+        assert np.isfinite(sc["loss_smooth"])
+
+
+@pytest.mark.slow
+def test_loupe_learned_mask_beats_random():
+    """LOUPE end-to-end value test (reference masks.py:141-192): after a
+    --learn_mask training run on smooth synthetic anatomy, the learned
+    sampling pattern scores higher val PSNR than seed-matched random masks
+    at the SAME kept-line count, with the same trained recon net."""
+    full, aux_w = _smooth_anatomy(seed=3)
+    val_full, val_aux = _smooth_anatomy(seed=11)
+
+    cfg = tiny_cfg("None")
+    cfg.mask = "loupe"
+    cfg.learn_mask = True
+    net = CSModel(cfg=cfg, seed=2)
+    for _ in range(150):
+        net.set_input(full, aux_w)
+        net.update()
+
+    net.eval()
+
+    def val_psnr():
+        net.set_input(val_full, val_aux)
+        return -net.test()
+
+    learned_pruned = np.asarray(net.state["pruned"]).copy()
+    kept = int((~learned_pruned).sum())
+    psnr_learned = val_psnr()
+
+    # seed-matched random masks at equal sparsity, same trained net
+    randoms = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        keep_idx = rng.choice(cfg.shape, size=kept, replace=False)
+        pruned = np.ones(cfg.shape, bool)
+        pruned[keep_idx] = False
+        net.state["pruned"] = jnp.asarray(pruned)
+        # pruned enters the cached jit steps as a traced arg, not a
+        # constant — overwriting state is enough, no recompile needed
+        randoms.append(val_psnr())
+    net.state["pruned"] = jnp.asarray(learned_pruned)
+
+    assert psnr_learned > np.mean(randoms) + 0.25, (psnr_learned, randoms)
