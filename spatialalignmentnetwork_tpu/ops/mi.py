@@ -46,7 +46,13 @@ def _mi_single(I, J, bins, sigma):
     ent_I, p_I = _marginal(I.reshape(-1), bins, sigma)
     ent_J, p_J = _marginal(J.reshape(-1), bins, sigma)
     normalizer_2d = 2.0 * math.pi * sigma**2
-    p_joint = (p_I @ p_J.T) / normalizer_2d
+    # [bins, P] @ [P, bins] over ~1e5 pixels: pin f32 precision — the TPU
+    # default truncates to bf16, which the on-chip kernel-parity run showed
+    # corrupts the (pointwise) autodiff gradients of these loss
+    # formulations (see ops/window.py note, 2026-08-19)
+    p_joint = jnp.dot(
+        p_I, p_J.T, precision=jax.lax.Precision.HIGHEST
+    ) / normalizer_2d
     p_joint = p_joint / (jnp.sum(p_joint) + 1e-10)
     ent_joint = -jnp.sum(p_joint * jnp.log(p_joint + 1e-10))
     return -(ent_I + ent_J - ent_joint)

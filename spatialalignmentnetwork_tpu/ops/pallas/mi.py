@@ -58,6 +58,7 @@ def _mi_kernel(i_ref, j_ref, out_ref, *, m, bins, sigma, minv, maxv):
         joint = joint + jax.lax.dot_general(
             pi, pj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return s_i, s_j, joint
 
@@ -158,6 +159,7 @@ def _mi_bwd_kernel(i_ref, j_ref, di_ref, dj_ref, *, m, bins, sigma,
         joint = joint + jax.lax.dot_general(
             pi, pj, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return s_i, s_j, joint
 
@@ -192,23 +194,31 @@ def _mi_bwd_kernel(i_ref, j_ref, di_ref, dj_ref, *, m, bins, sigma,
         vj = j_ref[0, :, sl]
         pi = responses(vi)
         pj = responses(vj)
+        # on-chip hazard (found 2026-08-19, tests/test_pallas_tpu.py): a
+        # Mosaic dot without an explicit precision rounds f32 operands to
+        # bf16; the CPU interpreter does not, so only the real chip saw it.
+        # The EQ contractions get precision=HIGHEST like every other kernel
+        # in this package, and the pixel gradient is restructured to cancel
+        # BEFORE reducing: (sum_b A_b c_b) - v (sum_b A_b) is a difference
+        # of near-equal numbers amplified by 1/sigma^2 = 4096, while
+        # sum_b A_b (c_b - v) subtracts first and reduces on the VPU in
+        # f32 — same math, no catastrophic cancellation to amplify.
         dLdpI = (-w_i / m) + jax.lax.dot_general(
             EQ, pj, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) / norm2d
         dLdpJ = (-w_j / m) + jax.lax.dot_general(
             EQ, pi, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ) / norm2d
 
         def pixel_grad(dLdp, p, v):
             A = dLdp * p  # [B, K]
-            sum_a = jnp.sum(A, axis=0, keepdims=True)  # [1, K]
-            c_a = jax.lax.dot_general(
-                centers, A, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [1, K]
-            return (c_a - v * sum_a) * inv_sigma2
+            return jnp.sum(
+                A * (centers - v), axis=0, keepdims=True
+            ) * inv_sigma2
 
         di_ref[0, :, sl] = pixel_grad(dLdpI, pi, vi)
         dj_ref[0, :, sl] = pixel_grad(dLdpJ, pj, vj)

@@ -9,6 +9,16 @@ instead of O(win^2) per pixel.
 import jax.numpy as jnp
 from jax import lax
 
+# TPU conv/dot default precision truncates f32 operands to bf16. For the
+# LOSS formulations built on these helpers that is a real parity hazard,
+# found on-chip (2026-08-19): the scalar SSIM loss still matched the fused
+# Pallas kernel to <1e-4 (averaging cancels the rounding), but its autodiff
+# GRADIENTS were off by 8e-3 pointwise — training-signal noise the torch
+# reference (f32 cuDNN convs) does not have. Pin HIGHEST: these ops run on
+# 1-channel loss inputs, so the extra passes are nowhere near a hot path,
+# and the jnp formulations stay valid parity references for the kernels.
+_PRECISION = lax.Precision.HIGHEST
+
 
 def window_sum2d(x: jnp.ndarray, win: int, padding: str = "VALID") -> jnp.ndarray:
     """Sum over win x win spatial windows of an [N, C, H, W] array.
@@ -34,10 +44,12 @@ def window_sum2d(x: jnp.ndarray, win: int, padding: str = "VALID") -> jnp.ndarra
     x = lax.conv_general_dilated(
         x, ones_h, (1, 1), (pad_h[0], (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=_PRECISION,
     )
     return lax.conv_general_dilated(
         x, ones_w, (1, 1), ((0, 0), pad_w[0]),
         dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=_PRECISION,
     )
 
 
@@ -48,6 +60,7 @@ def avg_pool2d_nchw(x: jnp.ndarray, k: int = 2) -> jnp.ndarray:
     s = lax.conv_general_dilated(
         x, ones, (k, k), ((0, 0), (0, 0)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=c,
+        precision=_PRECISION,
     )
     return s / (k * k)
 
@@ -65,4 +78,5 @@ def conv2d_same_nchw(x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
         padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=_PRECISION,
     )

@@ -105,7 +105,10 @@ print(json.dumps(out))
 """
 
 
-def _skip_unless_backend_reachable(env, repo, timeout_s=240):
+def _skip_unless_backend_reachable(env, repo, timeout_s=480):
+    # 480s: the relay's first-op handshake measures ~90s healthy but has
+    # multi-minute stalls (a 240s probe produced false "outage" skips
+    # 2026-08-19 minutes after a 90s-handshake success)
     """The tunneled TPU has outages where even device enumeration hangs
     forever; that is an environment fact, not a kernel bug — pre-probe a
     tiny op in a subprocess and SKIP (don't fail) when it never returns.
