@@ -17,10 +17,34 @@ TPU-first design notes:
   * FFTs lower to the XLA FFT op; all convs hit the MXU.
 """
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
 import flax.linen as nn
+
+
+def _remat_policy():
+    """Rematerialization policy for the cascade body (SAN_TPU_REMAT).
+
+    'full' (default): save nothing — the backward recomputes the whole
+    cascade body; minimum HBM (the scan stores only k-space carries).
+    'dots': save dot_general outputs — with the matmul-DFT FFT path the
+    per-cascade DFT products are kept instead of recomputed in the
+    backward, trading a little HBM for backward FLOPs.
+
+    Read at trace time (like SAN_TPU_IN) so setting the env after import
+    still takes effect; strict parsing — a typo errors instead of
+    silently picking a path.
+    """
+    v = os.environ.get("SAN_TPU_REMAT", "full").strip().lower()
+    if v == "full":
+        return None
+    if v == "dots":
+        import jax
+
+        return jax.checkpoint_policies.dots_saveable
+    raise ValueError(f"SAN_TPU_REMAT: expected 'full' or 'dots', got {v!r}")
 
 from ..ops.fft import (
     fft2, ifft2, rss, fft2_planar, ifft2_planar, rss_planar,
@@ -246,7 +270,7 @@ class VarNet(nn.Module):
         if self.remat:
             # trade FLOPs for HBM: recompute each cascade's activations in
             # the backward pass instead of storing 8 cascades' worth
-            body = nn.remat(body, prevent_cse=False)
+            body = nn.remat(body, prevent_cse=False, policy=_remat_policy())
 
         scan = nn.scan(
             body,
@@ -296,7 +320,7 @@ class VarNet(nn.Module):
             return out, ()
 
         if self.remat:
-            body = nn.remat(body, prevent_cse=False)
+            body = nn.remat(body, prevent_cse=False, policy=_remat_policy())
 
         scan = nn.scan(
             body,

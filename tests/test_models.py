@@ -272,3 +272,40 @@ def test_libunet_and_resnet_shapes():
     vr = rn.init(jax.random.PRNGKey(5), x)
     z = rn.apply(vr, x)
     assert z.shape == (1, 16, 16, 1)
+
+
+def test_varnet_remat_policy_dots_matches_full(monkeypatch):
+    """SAN_TPU_REMAT=dots (save dot_general outputs in the cascade-body
+    remat instead of recomputing everything) is a scheduling choice only:
+    forward and gradients must match the default 'full' policy — the saved
+    values are the very values the forward computed."""
+    kw = dict(num_cascades=2, sens_chans=2, sens_pools=2, chans=4, pools=2,
+              use_ref=True, remat=True)
+    net = VarNet(**kw)
+    k = jnp.asarray(_randc((1, 1, 32, 32), 15))
+    mask = jnp.asarray(np.random.default_rng(16).random(32) > 0.5)
+    ref = jnp.asarray(np.abs(_rand((1, 1, 32, 32), 17)))
+    params = net.init(jax.random.PRNGKey(2), k, mask, ref, 4)
+
+    def loss(p):
+        return jnp.sum(net.apply(p, k, mask, ref, 4) ** 2)
+
+    monkeypatch.delenv("SAN_TPU_REMAT", raising=False)
+    out_full = jax.jit(loss)(params)
+    g_full = jax.jit(jax.grad(loss))(params)
+    monkeypatch.setenv("SAN_TPU_REMAT", "dots")
+    out_dots = jax.jit(loss)(params)
+    g_dots = jax.jit(jax.grad(loss))(params)
+
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_dots),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                    jax.tree_util.tree_leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # strict lever parsing: a typo must error at trace time, not silently
+    # pick a policy (same policy as the other SAN_TPU_* levers)
+    monkeypatch.setenv("SAN_TPU_REMAT", "ddots")
+    with pytest.raises(ValueError, match="SAN_TPU_REMAT"):
+        loss(params)

@@ -124,3 +124,51 @@ def test_dp_serving_reconstruct_matches_single_device(mesh):
     np.testing.assert_allclose(
         np.asarray(got7), want[:7], rtol=2e-5, atol=2e-6
     )
+
+
+@pytest.mark.slow
+def test_dp_flagship_shape_mixed_step(mesh):
+    """VERDICT r3 #6: the sharded Mixed step at FLAGSHIP shape.
+
+    The driver dryrun proves the sharding plumbing on a toy config; this
+    proves the production-shaped step — 320x320, all five networks at the
+    reference widths (`/root/reference/model.py:58-71`: VarNet 8 cascades /
+    chans 18 / sens 8 / pools 4, NetG (64..512), NetD ([64]x2..[256]x2),
+    STN (32,64x4)) — compiles AND executes one data-parallel Mixed update
+    (both optimizer passes) on the virtual 8-device mesh.
+    """
+    from spatialalignmentnetwork_tpu.engine.config import Config
+
+    cfg = Config()
+    cfg.sparsity = 0.25
+    cfg.lr = 1e-4
+    cfg.shape = 320
+    cfg.coils = 1
+    cfg.reg = "Mixed"
+    cfg.mask = "equispaced"
+    cfg.weight_smooth = 1000.0
+    cfg.weight_gan = 0.1
+    cfg.weight_gan_sim = 1.0
+    cfg.weight_sim = 1.0
+    # no net_* overrides: csmodel defaults ARE the reference widths
+
+    net = CSModel(cfg=cfg)
+    net.distribute(mesh)
+
+    rng = np.random.default_rng(0)
+    n = 16  # 2 per device; even halves for the forwardG batch crossover
+    mk = lambda: (
+        rng.standard_normal((n, 1, 320, 320))
+        + 1j * rng.standard_normal((n, 1, 320, 320))
+    ).astype(np.complex64) * 0.3
+    net.set_input(mk(), mk())
+    before = jax.tree_util.tree_leaves(net.state["params"]["net_R"])[0]
+    net.update()
+    scalars = net.get_vis("scalars")["scalars"]
+    assert np.isfinite(scalars["loss_all"]), scalars
+    assert np.isfinite(scalars["loss_gan_Dreal"]), scalars
+    assert np.isfinite(scalars["loss_gan_Dfake"]), scalars
+    after = jax.tree_util.tree_leaves(net.state["params"]["net_R"])[0]
+    assert _param_delta(before, after) > 0.0  # R actually stepped
+    # the batch stayed sharded over all 8 devices through the update
+    assert len(net._batch[0].sharding.device_set) == 8
