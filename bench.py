@@ -259,8 +259,8 @@ def _is_resource_error(e) -> bool:
 
 
 def bench_train(args):
-    """Full Mixed-regime training-step throughput (all 5 nets, both GAN
-    passes, optimizer updates on device)."""
+    """Full training-step throughput in the chosen regime (--reg, default
+    Mixed: all 5 nets, both GAN passes, optimizer updates on device)."""
     import time as _time
 
     import jax
@@ -273,7 +273,7 @@ def bench_train(args):
     cfg.lr = 1e-4
     cfg.shape = 320
     cfg.coils = 1
-    cfg.reg = "Mixed"
+    cfg.reg = args.reg
     cfg.mask = "equispaced"
     cfg.weight_smooth = 1000.0
     cfg.weight_gan = 0.1
@@ -317,22 +317,37 @@ def bench_train(args):
 
     probe = _backend_probe_tflops()
     peak = _platform_peak_tflops()
-    # the train step does >= 3x the serving forward's FLOPs (fwd+bwd of
-    # five nets); the serving-forward count is a conservative lower bound
-    # for the impossibility guard
-    from spatialalignmentnetwork_tpu.ops.fft import active_fft_impl
-    from spatialalignmentnetwork_tpu.utils.flops import varnet_flops
+    # true analytic train-step FLOPs (utils/flops.py train_step_flops):
+    # fwd+bwd of every net the regime trains, both D phases, remat
+    # re-forward of the cascade scan — validated against XLA cost
+    # analysis within 3-7% (tests/test_flops.py)
+    import os as _os
 
-    fwd_flops = varnet_flops(320, fft_impl=active_fft_impl(320, 320))
-    implied_tflops = steps_per_sec * B * 3 * fwd_flops / 1e12
+    from spatialalignmentnetwork_tpu.ops.fft import active_fft_impl
+    from spatialalignmentnetwork_tpu.utils.flops import train_step_flops
+
+    from spatialalignmentnetwork_tpu.engine.csmodel import _remat_tg
+
+    remat = _os.environ.get("SAN_TPU_REMAT", "full")
+    step_flops, per_net = train_step_flops(
+        args.reg, 320, coils=1, fft_impl=active_fft_impl(320, 320),
+        remat=remat, remat_tg=_remat_tg(B),
+    )
+    implied_tflops = steps_per_sec * B * step_flops / 1e12
+    mfu = implied_tflops / peak
+    reg_tag = args.reg.lower().replace("-", "")
     result = {
-        "metric": "mixed_train_steps_per_sec_b%d_320x320" % B,
+        "metric": f"{reg_tag}_train_steps_per_sec_b{B}_320x320",
         "value": round(steps_per_sec, 3),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec * B / 10000.0, 4),
         "probe_tflops": round(probe, 2),
-        "implied_tflops_lower_bound": round(implied_tflops, 2),
+        "flops_per_slice": round(step_flops),
+        "flops_source": "analytic_train_step(remat=%s, remat_tg=%s)" % (
+            remat, _remat_tg(B)),
+        "implied_tflops": round(implied_tflops, 2),
         "peak_tflops": peak,
+        "mfu": round(mfu, 4),
     }
     flag_if_impossible(result, probe, peak, "matmul probe")
     flag_if_impossible(result, implied_tflops, peak, "measured train throughput")
@@ -437,6 +452,11 @@ def main():
                    help="force a jax platform (e.g. cpu, tpu)")
     p.add_argument("--mode", type=str, default="recon",
                    choices=["recon", "train", "input"])
+    p.add_argument("--reg", type=str, default="Mixed",
+                   choices=["None", "Rec", "Mixed", "GAN-Only"],
+                   help="training regime for --mode train (the staged "
+                        "protocol spends most wall-clock in None/Rec; "
+                        "commands_train_test.sh:32-38)")
     args = p.parse_args()
     if args.batch is None:
         args.batch = {"recon": 128, "train": 32, "input": 64}[args.mode]
@@ -462,7 +482,8 @@ def main():
     guard_backend_alive(
         "recon_slices_per_sec_per_chip_320x320_4x"
         if args.mode == "recon"
-        else f"mixed_train_steps_per_sec_b{args.batch}_320x320"
+        else "%s_train_steps_per_sec_b%d_320x320" % (
+            args.reg.lower().replace("-", ""), args.batch)
     )
     if args.mode == "train":
         bench_train(args)

@@ -30,8 +30,17 @@ def run_point(name, env_overrides, batch, iters, repeats, timeout_s):
     cmd = [sys.executable, os.path.join(REPO, "bench.py"), "--mode", "train",
            "--batch", str(batch), "--iters", str(iters),
            "--repeats", str(repeats)]
-    proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
-                          text=True, timeout=timeout_s)
+    try:
+        proc = subprocess.run(cmd, env=env, cwd=REPO, capture_output=True,
+                              text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired as e:
+        # one hung point must not abort the sweep: emit an error record
+        # (like the rc!=0 path) and let later points run
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        return {"point": name, "error": f"timeout after {timeout_s}s",
+                "stderr_tail": tail.splitlines()[-5:]}
     line = None
     for ln in proc.stdout.splitlines():
         ln = ln.strip()

@@ -44,6 +44,10 @@ def main():
     p.add_argument("--min_mb", type=float, default=8.0)
     p.add_argument("--top", type=int, default=12)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--trip", type=int, default=8,
+                   help="trip count applied to buffers produced inside "
+                        "while-loop bodies (the nn.scan cascade count; HLO "
+                        "text does not carry the static trip count)")
     args = p.parse_args()
 
     if args.platform:
@@ -83,18 +87,27 @@ def main():
     compiled = fn.lower(params, jnp.asarray(k), mask, jnp.asarray(ref)).compile()
     text = compiled.as_text()
 
+    # pass 1: which computations are while-loop BODIES (scan cascades)?
+    # their fusion outputs materialize once PER ITERATION, so their bytes
+    # must be scaled by the trip count or the per-step traffic totals
+    # understate scan-internal buffers by up to the cascade count.
+    body_names = set(re.findall(r"body=%?([\w.\-]+)", text))
+
     min_bytes = args.min_mb * (1 << 20)
     by_dtype = defaultdict(lambda: [0, 0])   # dtype -> [count, bytes]
     offenders = []
     in_fused = False
+    in_body = False
     for line in text.splitlines():
         stripped = line.strip()
         # instructions INSIDE a %fused_computation never materialize —
         # only the fusion call's output does. while-loop bodies (%region_*
         # scan cascades) DO materialize their fusion outputs per iteration,
-        # so they stay counted.
+        # so they stay counted — scaled by --trip (pass 1 above).
         if stripped.endswith("{") and ("(" in stripped or "ENTRY" in stripped):
-            in_fused = stripped.lstrip("%").startswith("fused_")
+            name = stripped.split()[0].lstrip("%")
+            in_fused = name.startswith("fused_")
+            in_body = name in body_names
             continue
         if in_fused:
             continue
@@ -119,11 +132,16 @@ def main():
         for m_t in SHAPE_RE.finditer(type_region):
             dtype, dims = m_t.group(1), m_t.group(2)
             b = tensor_bytes(dtype, dims)
-            if b < min_bytes:
+            # scan/while bodies execute --trip times per step: count their
+            # produced buffers at trip-scaled bytes (the single-allocation
+            # SIZE is unscaled, but the audit measures per-step TRAFFIC)
+            b_traffic = b * args.trip if in_body else b
+            if b_traffic < min_bytes:
                 continue
             by_dtype[dtype][0] += 1
-            by_dtype[dtype][1] += b
-            offenders.append((b, dtype, dims, op[:60]))
+            by_dtype[dtype][1] += b_traffic
+            offenders.append((b_traffic, dtype, dims,
+                              (f"{args.trip}x " if in_body else "") + op[:60]))
 
     offenders.sort(reverse=True)
     mem = getattr(compiled, "memory_analysis", lambda: None)()
@@ -131,6 +149,7 @@ def main():
         "metric": f"hbm_dtype_audit_b{B}",
         "platform": jax.devices()[0].platform,
         "min_mb": args.min_mb,
+        "while_body_trip": args.trip,
         "by_dtype": {
             d: {"count": c, "MB": round(by_ / (1 << 20), 1)}
             for d, (c, by_) in sorted(by_dtype.items())

@@ -114,8 +114,10 @@ def main():
         ).compile().as_text()
         hits = COLLECTIVES.findall(compiled_text)
         census = {"total": len(hits), "kinds": sorted(set(hits))}
-    except AttributeError as e:
-        census["error"] = str(e)
+    except Exception as e:  # noqa: BLE001 — the census is best-effort
+        # context: the expensive solo+sharded timings above must survive a
+        # census failure (lower() API drift OR a step-signature mismatch)
+        census["error"] = f"{type(e).__name__}: {e}"
 
     out = {
         "metric": f"sharded_eval_volume{n}x{args.shape}_virtual8",

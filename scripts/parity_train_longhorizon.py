@@ -213,9 +213,15 @@ def _divergence(a, b, key):
         if key not in wa or key not in wb:
             continue
         va, vb = wa[key], wb[key]
-        if not (np.isfinite(va) and np.isfinite(vb)):
-            # matching non-finites (untrained SN generator) are parity;
-            # a mismatch in finiteness is caught by the key sweep below
+        fa, fb = np.isfinite(va), np.isfinite(vb)
+        if fa != fb:
+            # one side went non-finite while the other stayed finite:
+            # that IS divergence, not a skippable step — record inf so
+            # the max-divergence check fails the key loudly
+            out.append(np.inf)
+            continue
+        if not fa:
+            # matching non-finites (untrained SN generator) are parity
             continue
         out.append(abs(va - vb) / (abs(vb) + 1e-12))
     return np.asarray(out)

@@ -91,6 +91,28 @@ def _parse_level_lever(name, value, auto):
             f"got {value!r}"
         ) from None
 
+def _remat_tg(batch, threshold=24):
+    """Whether to rematerialize the net_T / net_G training forwards
+    (SAN_TPU_REMAT_TG: on/off/auto, default auto).
+
+    net_R's cascade scan is always rematerialized (models/varnet.py:27-47);
+    net_T and net_G keep their residuals by default. At batch 32 those
+    residuals are what crossed the 15.75 G HBM compile margin at the
+    round-4 HEAD (STN's half-lane 64-ch temps + NetG's decoder stack —
+    docs/perf_ab_r04.jsonl), so 'auto' turns remat ON once the global
+    batch reaches 24, trading one extra T/G forward (~8% of the Mixed
+    step's FLOPs, utils/flops.py train_step_flops(remat_tg=True)) for
+    fitting. net_G passes threshold=12: it runs on half batches (the
+    forwardG synthesis/warp crossover, reference model.py:123-140), so
+    its slice of a global batch 24 is 12. Read at trace time; strict
+    parsing like the other levers.
+    """
+    import os
+
+    v = os.environ.get("SAN_TPU_REMAT_TG", "auto")
+    return _parse_bool_lever("SAN_TPU_REMAT_TG", v, auto=batch >= threshold)
+
+
 NET_NAMES = ("net_mask", "net_G", "net_D", "net_T", "net_R")
 
 # which nets receive gradients per training regime (reference
@@ -275,26 +297,40 @@ class CSModel:
 
     # ---------------------------------------------------------------- forward
     def _apply_T(self, params, stats, img_aux_abs, img_sampled_abs, train):
-        variables = {"params": params, "batch_stats": stats}
         if train:
-            (offset, grid), upd = self.net_T.apply(
-                variables, img_aux_abs, img_sampled_abs, train=True,
-                mutable=["batch_stats"],
+            def fwd(params, stats, a, b):
+                return self.net_T.apply(
+                    {"params": params, "batch_stats": stats}, a, b,
+                    train=True, mutable=["batch_stats"],
+                )
+
+            if _remat_tg(img_aux_abs.shape[0]):
+                fwd = jax.checkpoint(fwd)
+            (offset, grid), upd = fwd(
+                params, stats, img_aux_abs, img_sampled_abs
             )
             return offset, grid, upd["batch_stats"]
         offset, grid = self.net_T.apply(
-            variables, img_aux_abs, img_sampled_abs, train=False
+            {"params": params, "batch_stats": stats},
+            img_aux_abs, img_sampled_abs, train=False,
         )
         return offset, grid, stats
 
     def _apply_G(self, params, stats, x, train):
-        variables = {"params": params, "batch_stats": stats}
         if train:
-            out, upd = self.net_G.apply(
-                variables, x, train=True, mutable=["batch_stats"]
-            )
+            def fwd(params, stats, x):
+                return self.net_G.apply(
+                    {"params": params, "batch_stats": stats}, x,
+                    train=True, mutable=["batch_stats"],
+                )
+
+            if _remat_tg(x.shape[0], threshold=12):
+                fwd = jax.checkpoint(fwd)
+            out, upd = fwd(params, stats, x)
             return out, upd["batch_stats"]
-        return self.net_G.apply(variables, x, train=False), stats
+        return self.net_G.apply(
+            {"params": params, "batch_stats": stats}, x, train=False
+        ), stats
 
     def _apply_D(self, params, stats, x, train):
         variables = {"params": params, "batch_stats": stats}

@@ -210,7 +210,20 @@ def avg_pool2(x):
 
 
 def upsample_nearest2(x):
-    """Nearest-neighbor 2x upsample, NHWC."""
+    """Nearest-neighbor 2x upsample, NHWC.
+
+    Two 4/5-D stages instead of one 6-D broadcast: the fused
+    [N,H,2,W,2,C] temp tiles on TPU with minormost dims (2, C), and the
+    size-2 sublane dim pads to the native sublane count (16 for bf16) —
+    an 8x HBM expansion that was the largest temp in the b32 Mixed
+    compile OOM (docs/perf_ab_r04.jsonl round-4 entry). Here every
+    intermediate keeps large minormost dims:
+      1. H-doubling: broadcast to [N,H,2,W,C] (minor dims W,C) and
+         collapse — the dup axis never lands in the tiled pair.
+      2. W-doubling: duplicate along channel to [N,2H,W,2C] and reshape;
+         row-major (W,2C)->(2W,C) maps (w, j) to (2w + j//C, j%C), and
+         both channel halves hold x, so this interleaves columns exactly.
+    """
     n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)
+    x = jnp.broadcast_to(x[:, :, None], (n, h, 2, w, c)).reshape(n, 2 * h, w, c)
+    return jnp.concatenate([x, x], axis=-1).reshape(n, 2 * h, 2 * w, c)

@@ -86,11 +86,25 @@ def varnet_flops(shape, coils=1, num_cascades=8, sens_chans=8, sens_pools=4,
     """True per-slice forward FLOPs of the flagship VarNet
     (models/varnet.py; reference varnet.py:422-530). fft_impl must match
     the path actually dispatched (ops.fft.active_fft_impl())."""
+    sens, casc, edge = varnet_flops_parts(
+        shape, coils, num_cascades, sens_chans, sens_pools, chans, pools,
+        use_ref, fft_impl,
+    )
+    return sens + casc + edge
+
+
+def varnet_flops_parts(shape, coils=1, num_cascades=8, sens_chans=8,
+                       sens_pools=4, chans=18, pools=4, use_ref=True,
+                       fft_impl="xla"):
+    """(sens_model, all_cascades, edge_ffts) forward-FLOP split of
+    varnet_flops. The split matters for TRAINING cost: only the cascade
+    scan body is rematerialized (models/varnet.py:270-278), so under
+    SAN_TPU_REMAT=full its forward is dispatched twice per step while the
+    sensitivity model and the edge FFT/RSS are not."""
     h = w = shape
-    total = 0.0
     # SensitivityModel: masked ifft2 per coil + per-coil NormUnet + rss
-    total += fft2_flops(h, w, coils, fft_impl)
-    total += coils * normunet_flops(h, w, sens_chans, sens_pools)
+    sens = (fft2_flops(h, w, coils, fft_impl)
+            + coils * normunet_flops(h, w, sens_chans, sens_pools))
     # cascades: ifft2 + sens_reduce (complex mul: 8 flops/px/coil) +
     # NormUnet + sens_expand + fft2 per cascade
     per_cascade = (
@@ -98,7 +112,165 @@ def varnet_flops(shape, coils=1, num_cascades=8, sens_chans=8, sens_pools=4,
         + 2 * (8.0 * h * w * coils)
         + normunet_flops(h, w, chans, pools, use_ref=use_ref)
     )
-    total += num_cascades * per_cascade
-    # final ifft2 + rss
-    total += fft2_flops(h, w, coils, fft_impl)
+    # final ifft2 + rss (outside the scan)
+    edge = fft2_flops(h, w, coils, fft_impl)
+    return sens, num_cascades * per_cascade, edge
+
+
+# ---------------------------------------------------------------------------
+# The other four networks (training-step accounting). Each counter mirrors
+# its module's layer recursion exactly; see the module docstrings for the
+# reference file:line provenance. Excluded as bandwidth-not-FLOPs (same
+# convention as the header): norms, activations, pools, nearest upsamples,
+# the spectral-norm power iteration (2 matvecs of [out, in*9] per conv per
+# STEP — ~10 MFLOP total), grid-sample warps (banded one-hot contraction,
+# ~0.3 GFLOP/slice vs the ~100 GFLOP step), and the window losses.
+
+
+def libunet_flops(h, w, in_chans, out_chans, layers=(32, 64, 64, 64, 64)):
+    """Forward FLOPs of models/unet_lib.py LibUNet (reference
+    unet.py:119-189): recursive cat-skip UNet, avg-pool + 1x1-conv down,
+    nearest-up + 1x1-conv up, residual 3x3 stacks."""
+    L = list(layers)
+    total = 0
+
+    def inner(depth, hh, ww, cin):
+        nonlocal total
+        cur = L[depth]
+        hh2, ww2 = hh // 2, ww // 2
+        total += conv2d_flops(hh2, ww2, 1, 1, cin, cur)       # _down 1x1
+        total += 2 * conv2d_flops(hh2, ww2, 3, 3, cur, cur)   # _res(2)
+        if depth < len(L) - 1:
+            ch = inner(depth + 1, hh2, ww2, cur)
+            total += conv2d_flops(hh2, ww2, 3, 3, ch, cur)
+            total += conv2d_flops(hh2, ww2, 3, 3, cur, cur)   # _res(1)
+        total += conv2d_flops(hh, ww, 1, 1, cur, cur)         # _up 1x1
+        return cur + cin                                      # concat
+
+    l0 = L[0]
+    total += conv2d_flops(h, w, 3, 3, in_chans, l0)
+    total += conv2d_flops(h, w, 3, 3, l0, l0)                 # _res(1)
+    ch = inner(1, h, w, l0)
+    total += conv2d_flops(h, w, 3, 3, ch, l0)
+    total += conv2d_flops(h, w, 3, 3, l0, l0)                 # _res(1)
+    total += conv2d_flops(h, w, 3, 3, l0, out_chans)          # head
     return total
+
+
+def stn_flops(shape, coils=1, feat=32, layers=(32, 64, 64, 64, 64)):
+    """net_T forward (models/stn.py; reference cross.py:9-38): LibUNet over
+    cat(moving, fixed) + the zero-init 3x3 offset head."""
+    h = w = shape
+    return (libunet_flops(h, w, 2 * coils, feat, layers)
+            + conv2d_flops(h, w, 3, 3, feat, 2))
+
+
+def netg_flops(shape, in_chans=1, out_chans=1,
+               layers=(64, 128, 256, 512, 512)):
+    """net_G forward (models/gan.py NetG; reference gan.py:76-118):
+    recursive spectral-norm UNet, 2x2-stride-2 conv down, bare nearest up."""
+    h = w = shape
+    L = list(layers)
+    total = 0
+
+    def inner(depth, hh, ww, cin):
+        nonlocal total
+        cur = L[depth]
+        hh2, ww2 = hh // 2, ww // 2
+        total += conv2d_flops(hh2, ww2, 2, 2, cin, cur)       # _down s2 conv
+        total += 2 * conv2d_flops(hh2, ww2, 3, 3, cur, cur)   # _res(2)
+        if depth < len(L) - 1:
+            ch = inner(depth + 1, hh2, ww2, cur)
+            total += conv2d_flops(hh2, ww2, 3, 3, ch, cur)
+            total += conv2d_flops(hh2, ww2, 3, 3, cur, cur)   # _res(1)
+        return cur + cin                                      # up + concat
+
+    l0 = L[0]
+    total += conv2d_flops(h, w, 3, 3, in_chans, l0)
+    total += conv2d_flops(h, w, 3, 3, l0, l0)                 # _res(1)
+    ch = inner(1, h, w, l0)
+    total += conv2d_flops(h, w, 3, 3, ch, l0)
+    total += conv2d_flops(h, w, 3, 3, l0, l0)                 # _res(1)
+    total += conv2d_flops(h, w, 3, 3, l0, out_chans)          # head
+    return total
+
+
+def netd_flops(shape, in_chans=2,
+               blocks=((64,) * 2, (128,) * 2, (256,) * 2, (256,) * 2,
+                       (256,) * 2)):
+    """net_D forward (models/gan.py NetD; reference gan.py:120-139):
+    norm-free spectral-norm conv stack, avg-pool between blocks, 1-channel
+    head replacing the last pool."""
+    h = w = shape
+    total = 0
+    hh, ww, cin = h, w, in_chans
+    for bi, block in enumerate(blocks):
+        for ch in block:
+            total += conv2d_flops(hh, ww, 3, 3, cin, ch)
+            cin = ch
+        if bi < len(blocks) - 1:
+            hh, ww = hh // 2, ww // 2
+        else:
+            total += conv2d_flops(hh, ww, 3, 3, cin, 1)
+    return total
+
+
+def train_step_flops(regime, shape, coils=1, fft_impl="xla", remat="full",
+                     remat_tg=False,
+                     num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
+                     pools=4, use_ref=True,
+                     stn_feat=32, stn_layers=(32, 64, 64, 64, 64),
+                     g_layers=(64, 128, 256, 512, 512),
+                     d_blocks=((64,) * 2, (128,) * 2, (256,) * 2,
+                               (256,) * 2, (256,) * 2)):
+    """Analytic PER-SLICE FLOPs of one full training step in `regime`
+    (engine/csmodel.py _regime_loss + _d_phase_loss_fn; reference
+    model.py:193-263). Returns (total, per_net dict).
+
+    Backward-pass accounting (standard conv-net multipliers):
+      * a backward pass costs ~2x the forward (the dgrad chain through
+        every layer + the wgrad per conv);
+      * a net that gets weight grads therefore dispatches 3x its forward;
+      * net_D in the G-phase (forwardD D_loss=False, model.py:171-184) is
+        differentiated THROUGH but not WRT: dgrad chain only -> 2x;
+      * the D-phase (model.py:234-239) runs D forward on detached fake AND
+        real and takes weight grads of both -> 2 x 3x = 6x;
+      * remat='full' (SAN_TPU_REMAT default, models/varnet.py:27-47)
+        re-dispatches each cascade body's forward during the backward ->
+        the cascade component counts 4x; 'dots' saves matmul outputs and
+        recomputes only elementwise -> ~3x. The sensitivity model and edge
+        FFTs sit outside the scan and always count 3x.
+      * remat_tg=True (SAN_TPU_REMAT_TG, engine/csmodel.py _remat_tg;
+        auto-on at global batch >= 24) checkpoints the trained net_T and
+        net_G forwards -> each counts 4x instead of 3x. net_T in regime
+        'None' stays 1x (stop_gradient, never rematerialized usefully).
+
+    Per regime (GRAD_NETS, csmodel.py:99-106):
+      None:     T fwd only (stop_gradient), R trained.
+      Rec:      T + R trained.
+      Mixed:    T + G + R trained, D both phases.
+      GAN-Only: T + G trained, D both phases, no R.
+
+    net_G runs on two half batches per step (the forwardG synthesis/warp
+    crossover, model.py:123-140) == exactly one full-batch forward.
+    """
+    if regime not in ("None", "Rec", "Mixed", "GAN-Only"):
+        raise ValueError(f"unknown regime {regime!r}")
+    t_fwd = stn_flops(shape, coils, stn_feat, stn_layers)
+    g_fwd = netg_flops(shape, layers=g_layers)
+    d_fwd = netd_flops(shape, blocks=d_blocks)
+    sens, casc, edge = varnet_flops_parts(
+        shape, coils, num_cascades, sens_chans, sens_pools, chans, pools,
+        use_ref, fft_impl,
+    )
+    casc_mult = 4.0 if remat == "full" else 3.0
+    r_train = 3.0 * (sens + edge) + casc_mult * casc
+    tg_mult = 4.0 if remat_tg else 3.0
+
+    per_net = {"net_T": t_fwd if regime == "None" else tg_mult * t_fwd}
+    if regime in ("None", "Rec", "Mixed"):
+        per_net["net_R"] = r_train
+    if regime in ("Mixed", "GAN-Only"):
+        per_net["net_G"] = tg_mult * g_fwd
+        per_net["net_D"] = (2.0 + 6.0) * d_fwd
+    return sum(per_net.values()), per_net

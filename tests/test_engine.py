@@ -554,3 +554,36 @@ def test_interrupted_repack_recovers_on_load(tmp_path):
     ckpt = CK.ckpt_load(target)
     assert os.path.isdir(target) and not os.path.exists(target + ".repack")
     np.testing.assert_array_equal(ckpt["net_X"]["w"], np.arange(3.0))
+
+
+def test_remat_tg_lever_is_value_neutral(monkeypatch):
+    """SAN_TPU_REMAT_TG=on (checkpoint the net_T/net_G training forwards;
+    auto-enabled at global batch >= 24 to fit b32 Mixed in HBM) is a
+    scheduling choice only: a full Mixed step must land on the same
+    params/stats as the default no-remat path, since the rematerialized
+    forward recomputes the very values the saved one produced."""
+    full, aux = _batch()
+
+    def one_step(lever):
+        if lever is None:
+            monkeypatch.delenv("SAN_TPU_REMAT_TG", raising=False)
+        else:
+            monkeypatch.setenv("SAN_TPU_REMAT_TG", lever)
+        net = CSModel(cfg=tiny_cfg("Mixed"), seed=11)
+        net.set_input(full, aux)
+        net.update()
+        return jax.tree_util.tree_map(np.asarray, net.state["params"])
+
+    p_off = one_step(None)   # batch 4 < 24: auto resolves to off
+    p_on = one_step("on")
+    for a, b in zip(jax.tree_util.tree_leaves(p_off),
+                    jax.tree_util.tree_leaves(p_on)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    # strict lever parsing: a typo errors at trace time rather than
+    # silently picking a policy
+    monkeypatch.setenv("SAN_TPU_REMAT_TG", "onn")
+    net = CSModel(cfg=tiny_cfg("Mixed"), seed=11)
+    net.set_input(full, aux)
+    with pytest.raises(ValueError, match="SAN_TPU_REMAT_TG"):
+        net.update()

@@ -309,3 +309,20 @@ def test_varnet_remat_policy_dots_matches_full(monkeypatch):
     monkeypatch.setenv("SAN_TPU_REMAT", "ddots")
     with pytest.raises(ValueError, match="SAN_TPU_REMAT"):
         loss(params)
+
+
+def test_upsample_nearest2_exact():
+    """upsample_nearest2's two-stage formulation (H broadcast-collapse +
+    W channel-interleave reshape, chosen so no TPU temp carries a size-2
+    minormost-pair dim — the b32 OOM offender, docs/perf_ab_r04.jsonl)
+    must still be EXACT nearest-neighbor: every output pixel a bitwise
+    copy of its source."""
+    from spatialalignmentnetwork_tpu.models.layers import upsample_nearest2
+
+    for shape, seed in (((3, 5, 7, 6), 0), ((1, 1, 1, 1), 1),
+                        ((2, 8, 8, 3), 2)):
+        x = _rand(shape, seed)
+        got = np.asarray(jax.jit(upsample_nearest2)(jnp.asarray(x)))
+        want = np.repeat(np.repeat(x, 2, axis=1), 2, axis=2)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
