@@ -21,28 +21,46 @@ FLAGS="${FLAGS:---prefetch --force_gpu}"
 NAME="${NAME:-4xEquispaced}"
 MASK="${MASK:-equispaced}"
 SPAR="${SPAR:-0.25}"
+# budget knobs (reference defaults; the parity-runner rehearsal shrinks
+# them so the whole protocol smoke-runs in minutes)
+EPOCH="${EPOCH:-20000}"
+BATCH="${BATCH:-4}"
+INTEL_STOP="${INTEL_STOP:-2e4}"
 
 COMMON="--train ${TRAIN} --val ${VAL} --num_workers 8 --lr 1e-4 \
  --smooth_weight 1000 --gan_weight 0.1 --gan_sim_weight 1 --sim_weight 1 \
- --mask ${MASK} --aux_aug PBSpline --sparsity ${SPAR} --epoch 20000 \
- --batch_size 4 --intel_stop 2e4 --coils ${COILS} ${FLAGS}"
+ --mask ${MASK} --aux_aug PBSpline --sparsity ${SPAR} --epoch ${EPOCH} \
+ --batch_size ${BATCH} --intel_stop ${INTEL_STOP} --coils ${COILS} ${FLAGS}"
+
+# SKIP_EXISTING=1 (set by scripts/run_reference_parity.sh) makes each train
+# stage idempotent: a finished stage (best.pt present) is not re-trained, so
+# an interrupted protocol resumes at the failed stage on re-run.
+SKIP_EXISTING="${SKIP_EXISTING:-0}"
+function run_train(){
+  local logdir="$1"; shift
+  if [ "${SKIP_EXISTING}" = "1" ] && [ -e "${logdir}/ckpt/best.pt" ]; then
+    echo "SKIP train ${logdir} (best.pt exists)"
+  else
+    python3 "$(dirname "$0")/train.py" --logdir "${logdir}" "$@" ${COMMON}
+  fi
+}
 
 # Single-Modal
-python3 train.py --logdir ${LOG_BASE}/None_${NAME}${TGT}_PBSplineNone \
-  --protocals ${TGT} None --reg None ${COMMON}
+run_train ${LOG_BASE}/None_${NAME}${TGT}_PBSplineNone \
+  --protocals ${TGT} None --reg None
 # Multi-Modal
-python3 train.py --logdir ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineNone \
-  --protocals ${TGT} ${REF} --reg None ${COMMON} \
+run_train ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineNone \
+  --protocals ${TGT} ${REF} --reg None \
   --resume ${LOG_BASE}/None_${NAME}${TGT}_PBSplineNone/ckpt/best.pt \
   --load_nets net_mask
 # GAN-Only pretrain
-python3 train.py --logdir ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineGANOnly \
-  --protocals ${TGT} ${REF} --reg GAN-Only ${COMMON} \
+run_train ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineGANOnly \
+  --protocals ${TGT} ${REF} --reg GAN-Only \
   --resume ${LOG_BASE}/None_${NAME}${TGT}_PBSplineNone/ckpt/best.pt \
   --load_nets net_mask
 # Proposed
-python3 train.py --logdir ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineProposed \
-  --protocals ${TGT} ${REF} --reg Mixed ${COMMON} \
+run_train ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineProposed \
+  --protocals ${TGT} ${REF} --reg Mixed \
   --resume ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineGANOnly/ckpt/best.pt \
   --load_nets net_mask net_D net_G net_T
 
@@ -50,6 +68,7 @@ python3 train.py --logdir ${LOG_BASE}/${REF}_${NAME}${TGT}_PBSplineProposed \
 EVAL_BASE="${EVAL_BASE:-${PWD}/eval}"
 DATA_TEST="${DATA_TEST:-${PWD}/fastMRI_brain_DICOM/t1_t2_paired_6875_test.csv}"
 AUX_AUG='-1'
+EVAL_FLAGS="${EVAL_FLAGS:-}"
 
 function run_test(){
   echo ${ENAME}
@@ -58,12 +77,12 @@ function run_test(){
   then
     echo SKIPPED
   else
-    python3 eval.py \
+    python3 "$(dirname "$0")/eval.py" \
       --resume ${LOG_BASE}/${ENAME}/ckpt/best.pt \
       --val ${DATA_TEST} \
       --protocals ${PROTOCALS} --aux_aug ${AUX_AUG} \
       --save ${EVAL_BASE}/${ENAME} \
-      --metric ${EVAL_BASE}/${ENAME}.json
+      --metric ${EVAL_BASE}/${ENAME}.json ${EVAL_FLAGS}
     md5sum ${LOG_BASE}/${ENAME}/ckpt/best.pt/* > ${EVAL_BASE}/${ENAME}/md5sum
   fi
 }

@@ -151,6 +151,141 @@ def per_network_report(args):
         }))
 
 
+def per_network_train_report(args):
+    """Per-net TRAINING cost in isolation: fwd+bwd latency of each network
+    under exactly the differentiation pattern the Mixed step applies to it
+    (utils/flops.py train_step_flops docstring; reference model.py:193-263):
+
+      net_T      3x fwd   value_and_grad wrt params (train-mode, BN stats)
+      net_G      3x fwd   value_and_grad wrt params
+      net_D_gph  2x fwd   grad wrt the INPUT image (G-phase: differentiated
+                          through, not wrt — forwardD D_loss=False)
+      net_D_dph  6x fwd   value_and_grad wrt params of fake AND real passes
+      net_R      3-4x fwd value_and_grad wrt params (cascade remat per
+                          SAN_TPU_REMAT, models/varnet.py:27-47)
+      optimizer  --       the 5-net adamw update alone (precomputed grads)
+
+    The rows sum to a 'where the time goes' decomposition of the full
+    Mixed step (bench.py --mode train measures the assembled step;
+    PERF.md round-5 carries the table)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from spatialalignmentnetwork_tpu.engine.config import Config
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel, NET_NAMES
+    from spatialalignmentnetwork_tpu.utils.cache import enable_compilation_cache
+    from spatialalignmentnetwork_tpu.utils.transfer import to_device
+
+    enable_compilation_cache()
+    shape, B = args.shape, args.batch
+    cfg = Config(sparsity=0.25, lr=1e-4, shape=shape, coils=1, reg="Mixed",
+                 mask="equispaced", weight_smooth=1000.0, weight_gan=0.1,
+                 weight_gan_sim=1.0, weight_sim=1.0,
+                 use_amp=(args.dtype == "bf16"))
+    if args.tiny:  # CI-scale smoke (same shrink set as per_network_report)
+        cfg.net_G_layers = [4, 8]
+        cfg.net_D_blocks = [[4], [8]]
+        cfg.net_T_layers = [4, 8]
+        cfg.net_R_cascades = 2
+        cfg.net_R_chans = 4
+        cfg.net_R_sens_chans = 4
+        cfg.net_R_pools = 2
+        cfg.net_R_sens_pools = 2
+    net = CSModel(cfg=cfg)
+    params, stats = net.state["params"], net.state["stats"]
+    pruned = net.state["pruned"]
+
+    rng = np.random.default_rng(0)
+    img = to_device(np.abs(rng.standard_normal(
+        (B, 1, shape, shape))).astype(np.float32))
+    img2 = to_device(np.abs(rng.standard_normal(
+        (B, 1, shape, shape))).astype(np.float32))
+    k = to_device((rng.standard_normal((B, 1, shape, shape))
+                   + 1j * rng.standard_normal((B, 1, shape, shape))
+                   ).astype(np.complex64))
+    k = k * jnp.logical_not(pruned)[None, None, None, :]
+
+    def t_loss(pT, a, b):
+        (offset, grid), _ = net.net_T.apply(
+            {"params": pT, "batch_stats": stats["net_T"]}, a, b,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(offset)) + jnp.mean(jnp.abs(grid))
+
+    def g_loss(pG, x):
+        out, _ = net.net_G.apply(
+            {"params": pG, "batch_stats": stats["net_G"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(jnp.abs(out))
+
+    def d_of(pD, x):
+        out, _ = net.net_D.apply(
+            {"params": pD, "batch_stats": stats["net_D"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean(out)
+
+    def r_loss(pR, kk):
+        return jnp.mean(jnp.abs(net._forward_R(pR, kk, pruned, img)))
+
+    d_in = jnp.concatenate([img, img2], axis=1)
+
+    rows = {
+        # (fn producing a SCALAR whose computation is the fwd+bwd, inputs)
+        "net_T": (lambda a, b: jnp.mean(jax.tree_util.tree_leaves(
+            jax.value_and_grad(t_loss)(params["net_T"], a, b)[1])[0]),
+            (img, img2)),
+        "net_G": (lambda x: jnp.mean(jax.tree_util.tree_leaves(
+            jax.value_and_grad(g_loss)(params["net_G"], x)[1])[0]),
+            (img,)),
+        "net_D_gphase": (lambda x: jnp.mean(
+            jax.grad(lambda xx: d_of(params["net_D"], xx))(x)),
+            (d_in,)),
+        "net_D_dphase": (lambda x: jnp.mean(jax.tree_util.tree_leaves(
+            jax.value_and_grad(
+                lambda pD: d_of(pD, x) + d_of(pD, x[:, ::-1]))(
+                    params["net_D"])[1])[0]),
+            (d_in,)),
+        "net_R": (lambda kk: jnp.mean(jax.tree_util.tree_leaves(
+            jax.value_and_grad(r_loss)(params["net_R"], kk)[1])[0]),
+            (k,)),
+    }
+
+    # the bare 5-net adamw update, unit grads (optimizer cost floor)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    def opt_only(g):
+        new = {}
+        for name in NET_NAMES:
+            updates, _ = net.tx[name].update(
+                g[name], net.state["opt"][name], params[name])
+            new[name] = optax.apply_updates(params[name], updates)
+        return jnp.mean(jax.tree_util.tree_leaves(new["net_R"])[0])
+
+    rows["optimizer"] = (opt_only, (grads,))
+
+    for name, (fn, inputs) in rows.items():
+        def make(n, fn=fn):
+            @jax.jit
+            def run(*xs):
+                def body(c, _):
+                    x0 = jax.tree_util.tree_map(
+                        lambda t: t + (1e-30 * c).astype(t.dtype), xs[0])
+                    out = fn(x0, *xs[1:])
+                    return c + out.astype(jnp.float32), ()
+                c, _ = jax.lax.scan(body, jnp.float32(0.0), (), length=n)
+                return c
+            return run
+
+        t = marginal_time(make, inputs, args.iters)
+        print(json.dumps({
+            "component": name,
+            "mode": "train_fwd_bwd",
+            "ms_per_call": round(t * 1e3, 3),
+            "slices_per_sec": round(B / t, 1),
+            "batch": B,
+            "dtype": args.dtype,
+        }), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
@@ -158,6 +293,8 @@ def main():
     p.add_argument("--dtype", type=str, default="bf16")
     p.add_argument("--nets", action="store_true",
                    help="per-network params/MACs/latency report")
+    p.add_argument("--train_nets", action="store_true",
+                   help="per-network TRAIN fwd+bwd latency decomposition")
     p.add_argument("--shape", type=int, default=320,
                    help="slice resolution for --nets")
     p.add_argument("--tiny", action="store_true",
@@ -174,6 +311,9 @@ def main():
 
     if args.nets:
         per_network_report(args)
+        return
+    if args.train_nets:
+        per_network_train_report(args)
         return
 
     import jax

@@ -24,10 +24,22 @@ import h5py
 
 
 def nii_to_array(nii_path):
-    """Load a NIfTI volume as slice-major float32 in RAS orientation."""
-    import nibabel as nib
+    """Load a NIfTI volume as slice-major float32 in RAS orientation.
 
-    vol = nib.as_closest_canonical(nib.load(nii_path)).get_fdata()
+    Prefers nibabel (full format coverage); without it, falls back to the
+    bundled minimal NIfTI-1 reader (data/nifti_minimal.py), which covers
+    the axis-aligned single-file subset scanner exports use and raises on
+    anything it cannot reorient exactly.
+    """
+    try:
+        import nibabel as nib
+    except ImportError:
+        from . import nifti_minimal
+
+        data, affine = nifti_minimal.read_nii(nii_path)
+        vol = nifti_minimal.to_canonical(data, affine)
+    else:
+        vol = nib.as_closest_canonical(nib.load(nii_path)).get_fdata()
     array = np.ascontiguousarray(vol.T, dtype=np.float32)
     if array.ndim != 3:
         raise ValueError(f"{nii_path}: expected a 3-D volume, got {array.shape}")

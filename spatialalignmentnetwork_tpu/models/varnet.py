@@ -46,6 +46,41 @@ def _remat_policy():
         return jax.checkpoint_policies.dots_saveable
     raise ValueError(f"SAN_TPU_REMAT: expected 'full' or 'dots', got {v!r}")
 
+
+def _kspace_bf16() -> bool:
+    """SAN_TPU_KSPACE: f32 (default) | bf16 — precision of the cascade
+    k-space chain (the scan carry + its per-cascade updates).
+
+    The f32 chain is deliberate: k-space has the dynamic range of the DC
+    line, and the HBM-dtype audit (PERF.md round-4) kept it f32 on a ~0.1 dB
+    risk ARGUMENT. This opt-in makes that call MEASURED: bf16 quantizes the
+    carry each cascade (planar mode stores the real carry in actual bf16 —
+    the bandwidth win; complex mode round-trips both components through
+    bf16 — the same quantization error without the storage win, since
+    complex64 has no bf16 sibling). Recorded ΔPSNR: see PERF.md round-5.
+    Read at trace time; strict parsing like the other levers.
+    """
+    v = os.environ.get("SAN_TPU_KSPACE", "f32").strip().lower()
+    if v in ("f32", "float32"):
+        return False
+    if v in ("bf16", "bfloat16"):
+        return True
+    raise ValueError(f"SAN_TPU_KSPACE: expected 'f32' or 'bf16', got {v!r}")
+
+
+def quantize_kspace(x: jnp.ndarray) -> jnp.ndarray:
+    """Apply the SAN_TPU_KSPACE policy to a k-space array (no-op at f32)."""
+    if not _kspace_bf16():
+        return x
+    if jnp.iscomplexobj(x):
+        import jax
+
+        return jax.lax.complex(
+            x.real.astype(jnp.bfloat16).astype(jnp.float32),
+            x.imag.astype(jnp.bfloat16).astype(jnp.float32),
+        )
+    return x.astype(jnp.bfloat16)
+
 from ..ops.fft import (
     fft2, ifft2, rss, fft2_planar, ifft2_planar, rss_planar,
 )
@@ -191,7 +226,9 @@ class VarNetBlock(nn.Module):
             soft_dc = jnp.where(
                 mask, current_kspace - ref_kspace, 0.0
             ) * dc_weight
-            return current_kspace - soft_dc - model_term
+            # updates computed in f32 (dtype promotion above), carry stored
+            # per SAN_TPU_KSPACE (bf16 halves the scan-carry HBM traffic)
+            return quantize_kspace(current_kspace - soft_dc - model_term)
         # refinement through the regularizer U-Net in image space
         image = jnp.sum(
             ifft2(current_kspace) * jnp.conj(sens_maps), axis=1, keepdims=True
@@ -205,7 +242,7 @@ class VarNetBlock(nn.Module):
         # soft data consistency on sampled lines
         dc_weight = self.param("dc_weight", nn.initializers.ones, (1,))
         soft_dc = jnp.where(mask, current_kspace - ref_kspace, 0.0) * dc_weight
-        return current_kspace - soft_dc - model_term
+        return quantize_kspace(current_kspace - soft_dc - model_term)
 
 
 class VarNet(nn.Module):
@@ -283,7 +320,7 @@ class VarNet(nn.Module):
                 self.chans, self.pools, self.use_ref,
                 s2d_levels=self.s2d_levels, dtype=self.dtype,
             ),
-            masked_kspace,
+            quantize_kspace(masked_kspace),  # no-op at SAN_TPU_KSPACE=f32
             (),
         )
         return rss(ifft2(kspace_pred))
@@ -333,7 +370,7 @@ class VarNet(nn.Module):
                 self.chans, self.pools, self.use_ref, planar=True,
                 s2d_levels=self.s2d_levels, dtype=self.dtype,
             ),
-            k_planar,
+            quantize_kspace(k_planar),  # no-op at SAN_TPU_KSPACE=f32
             (),
         )
         out = rss_planar(ifft2_planar(kspace_pred))  # [N, H, W, 1]

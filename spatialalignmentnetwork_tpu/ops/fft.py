@@ -170,6 +170,10 @@ def ifft2_planar(x: jnp.ndarray) -> jnp.ndarray:
 
 def _planar_via_complex(x, fft_fn):
     c = x.shape[-1] // 2
+    if x.dtype not in (jnp.float32, jnp.float64):
+        # sub-f32 planar storage (SAN_TPU_KSPACE=bf16 carries): the native
+        # FFT path has no bf16 complex type — upcast at the boundary
+        x = x.astype(jnp.float32)
     z = jax.lax.complex(x[..., :c], x[..., c:])
     z = fft_fn(z, axes=(1, 2), norm="ortho")
     return jnp.concatenate([z.real, z.imag], axis=-1)

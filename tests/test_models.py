@@ -311,6 +311,43 @@ def test_varnet_remat_policy_dots_matches_full(monkeypatch):
         loss(params)
 
 
+def test_kspace_bf16_lever(monkeypatch):
+    """SAN_TPU_KSPACE=bf16 (quantize the cascade k-space chain; the
+    measured answer to the HBM audit's 'f32 k-space is a 0.1 dB risk
+    call', PERF.md round-5): outputs must stay finite and close to the
+    f32 chain in BOTH layouts, the complex and planar variants must agree
+    with each other, and a typo must raise, not silently pick f32."""
+    kw = dict(num_cascades=2, sens_chans=2, sens_pools=2, chans=4, pools=2,
+              use_ref=True)
+    k = jnp.asarray(_randc((1, 1, 32, 32), 5))
+    mask = jnp.asarray(np.random.default_rng(6).random(32) > 0.5)
+    ref = jnp.asarray(np.abs(_rand((1, 1, 32, 32), 7)))
+
+    net = VarNet(**kw)
+    net_pl = VarNet(planar=True, **kw)
+    params = net.init(jax.random.PRNGKey(0), k, mask, ref, 4)
+
+    monkeypatch.delenv("SAN_TPU_KSPACE", raising=False)
+    want = np.asarray(jax.jit(
+        lambda p: net.apply(p, k, mask, ref, 4))(params))
+
+    monkeypatch.setenv("SAN_TPU_KSPACE", "bf16")
+    got = np.asarray(jax.jit(
+        lambda p: net.apply(p, k, mask, ref, 4))(params))
+    got_pl = np.asarray(jax.jit(
+        lambda p: net_pl.apply(p, k, mask, ref, 4))(params))
+    assert np.isfinite(got).all() and np.isfinite(got_pl).all()
+    # bf16 has ~3 decimal digits; the 2-cascade chain stays within ~1%
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-2 * scale, (
+        np.abs(got - want).max(), scale)
+    np.testing.assert_allclose(got_pl, got, rtol=0, atol=2e-2 * scale)
+
+    monkeypatch.setenv("SAN_TPU_KSPACE", "half")
+    with pytest.raises(ValueError, match="SAN_TPU_KSPACE"):
+        jax.jit(lambda p: net.apply(p, k, mask, ref, 4))(params)
+
+
 def test_upsample_nearest2_exact():
     """upsample_nearest2's two-stage formulation (H broadcast-collapse +
     W channel-interleave reshape, chosen so no TPU temp carries a size-2

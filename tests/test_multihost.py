@@ -1,8 +1,10 @@
-"""2-process multi-host input-sharding test (SURVEY §5.8).
+"""Multi-process multi-host input-sharding tests (SURVEY §5.8).
 
-Spawns two CPU jax processes joined through jax.distributed (one local
-device each -> a 2-device global mesh), runs tests/multihost_worker.py in
-both, and checks:
+Spawns CPU jax processes joined through jax.distributed in two
+topologies — 2 processes x 1 local device (2-device global mesh) and
+2 processes x 4 local devices (8-device global mesh, the production
+N-hosts-x-M-chips shape) — runs tests/multihost_worker.py in each, and
+checks:
   - the sharded Loaders load DISJOINT rows whose union is the dataset;
   - the glued global batches (shard_batch_multihost) reduce to the same
     values every process, matching a single-process Loader's batches;
@@ -75,19 +77,23 @@ def test_loader_sharding_is_disjoint_and_complete():
         assert len(set(ids.tolist())) == B * P  # disjoint rows
 
 
-@pytest.mark.slow
-def test_two_process_sharded_training(tmp_path):
+def _spawn_workers(tmp_path, env, local_devices=None):
     coord = f"127.0.0.1:{_free_port()}"
-    env = _worker_env()
-    procs = [
+    argv_tail = [] if local_devices is None else [str(local_devices)]
+    return [
         subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
-             coord, str(NPROC), str(pid), str(tmp_path)],
+             coord, str(NPROC), str(pid), str(tmp_path), *argv_tail],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(NPROC)
     ]
+
+
+@pytest.mark.slow
+def test_two_process_sharded_training(tmp_path):
+    procs = _spawn_workers(tmp_path, _worker_env())
     try:
         outs = [p.communicate(timeout=900)[0] for p in procs]
     finally:
@@ -150,3 +156,89 @@ def test_two_process_sharded_training(tmp_path):
     np.testing.assert_allclose(res[0]["loss_dev"], want, rtol=1e-4)
     np.testing.assert_allclose(res[0]["loss_dev"], res[1]["loss_dev"],
                                rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_four_device_sharded_training(tmp_path):
+    """The production multi-host topology: N processes x M LOCAL devices
+    (here 2 x 4 virtual CPU devices = an 8-device global mesh).
+
+    The 2 x 1 test above never exercises
+    make_array_from_process_local_data gluing a multi-row host shard onto
+    MULTIPLE local devices — exactly where addressable-shard layout bugs
+    live. Asserts: each process's global batch carries 4 addressable
+    shards of 2 rows; the rows a process loaded are the rows its own
+    devices hold (no cross-host reshuffle); global reductions agree; and
+    the 8-way sharded train step matches the solo step bit-for-policy.
+    """
+    LD = 4
+    env = _worker_env()
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={LD}"
+    ).strip()
+    procs = _spawn_workers(tmp_path, env, local_devices=LD)
+    try:
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    rcs = [p.returncode for p in procs]
+    if any(rcs):
+        joined = "\n---\n".join(outs)
+        if "jax.distributed" in joined and (
+            "UNAVAILABLE" in joined or "UNIMPLEMENTED" in joined
+        ):
+            pytest.skip("jax.distributed CPU cluster unavailable here:\n"
+                        + joined[-2000:])
+        raise AssertionError(f"workers failed rc={rcs}\n{joined[-4000:]}")
+
+    res = [json.load(open(tmp_path / f"p{pid}.json")) for pid in range(NPROC)]
+
+    # loader shards are disjoint and cover the dataset
+    rows = [r["rows"] for r in res]
+    assert set(rows[0]).isdisjoint(rows[1])
+    assert set(rows[0]) | set(rows[1]) == set(range(16))
+
+    # per-process addressable layout: LD local shards x 2 rows, holding
+    # exactly the rows that process loaded in its first batch
+    for r in res:
+        lay = r["shard_layout"]
+        assert lay["n_addressable"] == LD, lay
+        assert lay["rows_per_shard"] == [2] * LD, lay
+        assert lay["local_rows"] == sorted(r["rows"][: 2 * LD]), (
+            lay, r["rows"][: 2 * LD]
+        )
+
+    # global reductions agree across processes and match a single-process
+    # Loader over the same global batches (batch = 2 rows/device * 8)
+    np.testing.assert_allclose(res[0]["means"], res[1]["means"], rtol=0)
+    from spatialalignmentnetwork_tpu.data.loader import Loader
+
+    class RowIdDataset:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return [np.full((1, 4, 4), i, np.float32),
+                    np.full((1, 4, 4), 1000 + i, np.float32)]
+
+    single = Loader(RowIdDataset(), batch_size=2 * LD * NPROC, shuffle=True,
+                    drop_last=True, seed=42)
+    want_means = [float(b[0].mean()) for b in single]
+    np.testing.assert_allclose(res[0]["means"], want_means, rtol=0)
+
+    # the 8-way sharded global train step == the single-process step
+    np.testing.assert_allclose(res[0]["loss"], res[1]["loss"], rtol=1e-6)
+    from tests.test_engine import tiny_cfg, _batch
+    from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+    net = CSModel(cfg=tiny_cfg("Rec"), seed=0)
+    full, aux = _batch(shape=16, n=NPROC * LD, seed=0)
+    net.set_input(full, aux)
+    net.update()
+    want = float(net.get_vis("scalars")["scalars"]["loss_all"])
+    np.testing.assert_allclose(res[0]["loss"], want, rtol=1e-4)
+    np.testing.assert_allclose(res[0]["loss_dev"], want, rtol=1e-4)
