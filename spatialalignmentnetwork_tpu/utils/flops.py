@@ -215,6 +215,190 @@ def netd_flops(shape, in_chans=2,
     return total
 
 
+# ---------------------------------------------------------------------------
+# GEMM inventory (speed-of-light modeling, scripts/train_sol.py).
+#
+# Each generator mirrors its FLOP counter's recursion EXACTLY (pinned by
+# tests/test_flops.py::test_inventory_matches_counters — the summed record
+# flops must equal the counter bit-for-bit), but yields one record per
+# MXU-dispatched op instead of a scalar:
+#
+#   {kind, h, w (output spatial), kh, kw, cin, cout, stride,
+#    flops (per slice), in_elems, out_elems (activation elements per slice)}
+#
+# kinds: 'conv'  stride-s kh x kw conv (fwd GEMM K=cin*kh*kw, N=cout)
+#        'convT' 2x2-stride-2 transpose conv (fwd GEMM K=cin, N=4*cout at
+#                the INPUT resolution; h/w record the output resolution)
+#        'dft'   one axis of the matmul-DFT (four real [n,n] matmuls;
+#                K=N=n, f32 storage on the k-space chain)
+#        'ew'    elementwise complex muls billed in the counters
+#                (sens expand/reduce) — traffic, no MXU time.
+
+
+def _rec(kind, h, w, kh, kw, cin, cout, stride, flops, in_elems, out_elems):
+    return {"kind": kind, "h": h, "w": w, "kh": kh, "kw": kw, "cin": cin,
+            "cout": cout, "stride": stride, "flops": float(flops),
+            "in_elems": float(in_elems), "out_elems": float(out_elems)}
+
+
+def _conv(h, w, kh, kw, cin, cout, stride=1):
+    """Stride-s SAME conv record; h/w are OUTPUT spatial dims."""
+    hi, wi = h * stride, w * stride
+    return _rec("conv", h, w, kh, kw, cin, cout, stride,
+                conv2d_flops(h, w, kh, kw, cin, cout),
+                hi * wi * cin, h * w * cout)
+
+
+def unet_convs(h, w, in_chans, out_chans, chans, num_pools):
+    """Inventory of unet_flops (models/unet.py Unet)."""
+    recs = []
+    chs = [chans * (2 ** i) for i in range(num_pools)]
+    hh, ww = h, w
+    cin = in_chans
+    for c in chs:
+        recs.append(_conv(hh, ww, 3, 3, cin, c))
+        recs.append(_conv(hh, ww, 3, 3, c, c))
+        cin = c
+        hh, ww = hh // 2, ww // 2
+    recs.append(_conv(hh, ww, 3, 3, chs[-1], chs[-1] * 2))
+    recs.append(_conv(hh, ww, 3, 3, chs[-1] * 2, chs[-1] * 2))
+    cur = chs[-1] * 2
+    for c in reversed(chs):
+        hh, ww = hh * 2, ww * 2
+        recs.append(_rec("convT", hh, ww, 2, 2, cur, c, 2,
+                         2 * hh * ww * cur * c,
+                         (hh // 2) * (ww // 2) * cur, hh * ww * c))
+        recs.append(_conv(hh, ww, 3, 3, 2 * c, c))
+        recs.append(_conv(hh, ww, 3, 3, c, c))
+        cur = c
+    recs.append(_conv(hh, ww, 1, 1, cur, out_chans))
+    return recs
+
+
+def normunet_convs(h, w, chans, num_pools, in_chans=1, use_ref=False):
+    hp, wp = _pad16(h), _pad16(w)
+    cin = 2 * in_chans + (1 if use_ref else 0)
+    return unet_convs(hp, wp, cin, 2 * in_chans, chans, num_pools)
+
+
+def _dft2(h, w, channels, f32=True):
+    """Two 'dft' records per plane (one per axis), matmul impl only."""
+    return [
+        _rec("dft", h, w, 1, 1, h, h, 1, 8.0 * w * h * h * channels,
+             h * w * channels * 2, h * w * channels * 2),
+        _rec("dft", h, w, 1, 1, w, w, 1, 8.0 * h * w * w * channels,
+             h * w * channels * 2, h * w * channels * 2),
+    ]
+
+
+def varnet_convs(shape, coils=1, num_cascades=8, sens_chans=8, sens_pools=4,
+                 chans=18, pools=4, use_ref=True, fft_impl="matmul"):
+    """Inventory of varnet_flops split by phase: (sens, one_cascade, edge).
+    A cascade's records are dispatched num_cascades times (the scan);
+    callers multiply. fft_impl='xla' bills the native FFT's flops on a
+    single 'dft'-like record pair with the 5NlogN estimate."""
+    h = w = shape
+
+    def fft_recs():
+        if fft_impl == "matmul":
+            return _dft2(h, w, coils)
+        per = fft2_flops(h, w, coils, "xla")
+        return [_rec("dft", h, w, 1, 1, 1, 1, 1, per,
+                     h * w * coils * 2, h * w * coils * 2)]
+
+    sens = fft_recs()
+    for _ in range(coils):
+        sens += normunet_convs(h, w, sens_chans, sens_pools)
+    casc = fft_recs() + fft_recs()
+    casc.append(_rec("ew", h, w, 1, 1, coils, coils, 1,
+                     2 * 8.0 * h * w * coils,
+                     2 * h * w * coils * 2, 2 * h * w * coils * 2))
+    casc += normunet_convs(h, w, chans, pools, use_ref=use_ref)
+    edge = fft_recs()
+    return sens, casc, edge
+
+
+def libunet_convs(h, w, in_chans, out_chans, layers=(32, 64, 64, 64, 64)):
+    """Inventory of libunet_flops (models/unet_lib.py LibUNet)."""
+    L = list(layers)
+    recs = []
+
+    def inner(depth, hh, ww, cin):
+        cur = L[depth]
+        hh2, ww2 = hh // 2, ww // 2
+        recs.append(_conv(hh2, ww2, 1, 1, cin, cur))
+        recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        if depth < len(L) - 1:
+            ch = inner(depth + 1, hh2, ww2, cur)
+            recs.append(_conv(hh2, ww2, 3, 3, ch, cur))
+            recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        recs.append(_conv(hh, ww, 1, 1, cur, cur))
+        return cur + cin
+
+    l0 = L[0]
+    recs.append(_conv(h, w, 3, 3, in_chans, l0))
+    recs.append(_conv(h, w, 3, 3, l0, l0))
+    ch = inner(1, h, w, l0)
+    recs.append(_conv(h, w, 3, 3, ch, l0))
+    recs.append(_conv(h, w, 3, 3, l0, l0))
+    recs.append(_conv(h, w, 3, 3, l0, out_chans))
+    return recs
+
+
+def stn_convs(shape, coils=1, feat=32, layers=(32, 64, 64, 64, 64)):
+    h = w = shape
+    return (libunet_convs(h, w, 2 * coils, feat, layers)
+            + [_conv(h, w, 3, 3, feat, 2)])
+
+
+def netg_convs(shape, in_chans=1, out_chans=1,
+               layers=(64, 128, 256, 512, 512)):
+    """Inventory of netg_flops (models/gan.py NetG)."""
+    h = w = shape
+    L = list(layers)
+    recs = []
+
+    def inner(depth, hh, ww, cin):
+        cur = L[depth]
+        hh2, ww2 = hh // 2, ww // 2
+        recs.append(_conv(hh2, ww2, 2, 2, cin, cur, stride=2))
+        recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        if depth < len(L) - 1:
+            ch = inner(depth + 1, hh2, ww2, cur)
+            recs.append(_conv(hh2, ww2, 3, 3, ch, cur))
+            recs.append(_conv(hh2, ww2, 3, 3, cur, cur))
+        return cur + cin
+
+    l0 = L[0]
+    recs.append(_conv(h, w, 3, 3, in_chans, l0))
+    recs.append(_conv(h, w, 3, 3, l0, l0))
+    ch = inner(1, h, w, l0)
+    recs.append(_conv(h, w, 3, 3, ch, l0))
+    recs.append(_conv(h, w, 3, 3, l0, l0))
+    recs.append(_conv(h, w, 3, 3, l0, out_chans))
+    return recs
+
+
+def netd_convs(shape, in_chans=2,
+               blocks=((64,) * 2, (128,) * 2, (256,) * 2, (256,) * 2,
+                       (256,) * 2)):
+    """Inventory of netd_flops (models/gan.py NetD)."""
+    h = w = shape
+    recs = []
+    hh, ww, cin = h, w, in_chans
+    for bi, block in enumerate(blocks):
+        for ch in block:
+            recs.append(_conv(hh, ww, 3, 3, cin, ch))
+            cin = ch
+        if bi < len(blocks) - 1:
+            hh, ww = hh // 2, ww // 2
+        else:
+            recs.append(_conv(hh, ww, 3, 3, cin, 1))
+    return recs
+
+
 def train_step_flops(regime, shape, coils=1, fft_impl="xla", remat="full",
                      remat_tg=False,
                      num_cascades=8, sens_chans=8, sens_pools=4, chans=18,

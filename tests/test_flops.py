@@ -112,6 +112,39 @@ def test_backward_multiplier_is_three():
     assert 2.6 < f_bwd / f_fwd < 3.3, f_bwd / f_fwd
 
 
+def test_inventory_matches_counters():
+    """The GEMM inventory (utils/flops.py *_convs, the SOL model's input)
+    must sum to the scalar counters bit-for-bit — one recursion, two
+    renderings."""
+    from spatialalignmentnetwork_tpu.utils.flops import (
+        libunet_convs,
+        netd_convs,
+        netg_convs,
+        stn_convs,
+        unet_convs,
+        varnet_convs,
+        varnet_flops_parts,
+        unet_flops,
+    )
+
+    def tot(recs):
+        return sum(r["flops"] for r in recs)
+
+    assert tot(unet_convs(320, 320, 3, 2, 18, 4)) == unet_flops(
+        320, 320, 3, 2, 18, 4)
+    assert tot(libunet_convs(320, 320, 2, 32)) == libunet_flops(
+        320, 320, 2, 32)
+    assert tot(stn_convs(320)) == stn_flops(320)
+    assert tot(netg_convs(320)) == netg_flops(320)
+    assert tot(netd_convs(320)) == netd_flops(320)
+    for impl in ("matmul", "xla"):
+        sens_r, casc_r, edge_r = varnet_convs(320, fft_impl=impl)
+        sens, casc, edge = varnet_flops_parts(320, fft_impl=impl)
+        assert tot(sens_r) == pytest.approx(sens, rel=1e-12)
+        assert 8 * tot(casc_r) == pytest.approx(casc, rel=1e-12)
+        assert tot(edge_r) == pytest.approx(edge, rel=1e-12)
+
+
 def test_train_step_flops_regime_relations():
     """Structural invariants of the per-regime accounting
     (engine/csmodel.py GRAD_NETS; reference model.py:193-263)."""
