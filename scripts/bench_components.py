@@ -249,6 +249,43 @@ def per_network_train_report(args):
             (k,)),
     }
 
+    # ---- glue rows: everything in the step that is NOT a net ----------
+    # (round-5 finding: the five nets + optimizer sum to ~540 ms of the
+    # ~830 ms b16 Mixed step; these rows attribute the residue)
+    from spatialalignmentnetwork_tpu.models.stn import (
+        warp as warp_fn, gradient_loss)
+    from spatialalignmentnetwork_tpu.ops.ssim import ssimloss
+
+    kc = to_device((rng.standard_normal((B, 1, shape, shape))
+                    + 1j * rng.standard_normal((B, 1, shape, shape))
+                    ).astype(np.complex64))
+    grid0 = jnp.zeros((B, shape, shape, 2), jnp.float32)
+    offs0 = jnp.zeros((B, shape, shape, 2), jnp.float32)
+
+    def prepare_only(a, b):
+        env = net._prepare(a, b, pruned)
+        return (jnp.mean(env["img_full_rss"])
+                + jnp.mean(env["img_sampled_rss"])
+                + jnp.mean(env["img_aux_rss"])
+                + jnp.mean(jnp.abs(env["img_sampled"])))
+
+    def warp_loss(g, a):
+        return jnp.mean(jnp.abs(warp_fn(a, g)))
+
+    def ssim_pair(a, b):
+        return ssimloss(a, b)
+
+    rows_glue = {
+        "prepare(fft+mask+rss)": (prepare_only, (kc, kc)),
+        "warp_fwd_bwd": (lambda g, a: jnp.mean(
+            jax.grad(warp_loss, argnums=(0, 1))(g, a)[0]), (grid0, img)),
+        "ssim_fwd_bwd": (lambda a, b: jnp.mean(
+            jax.grad(ssim_pair, argnums=(0, 1))(a, b)[0]), (img, img2)),
+        "smooth_fwd_bwd": (lambda o: jnp.mean(
+            jax.grad(lambda x: gradient_loss(x))(o)), (offs0,)),
+    }
+    rows.update(rows_glue)
+
     # the bare 5-net adamw update, unit grads (optimizer cost floor)
     grads = jax.tree_util.tree_map(jnp.ones_like, params)
 

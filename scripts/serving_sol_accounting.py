@@ -57,6 +57,12 @@ def produced_bytes(type_region):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--mode", default="recon", choices=["recon", "train"],
+                   help="recon: the serving forward (default). train: the "
+                        "full Mixed/Rec/... train step (--reg) — the same "
+                        "per-fusion t_lb accounting applied to the round-5 "
+                        "training campaign's compiled step")
+    p.add_argument("--reg", default="Mixed")
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--bw_gbps", type=float, default=397.0,
                    help="measured copy-path bandwidth of this backend")
@@ -81,29 +87,50 @@ def main():
 
     enable_compilation_cache()
     shape, sparsity = 320, 0.25
-    num_low = int(shape * sparsity * 0.32)
-    net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
-                 pools=4, use_ref=True, dtype=jnp.bfloat16)
-
     rng = np.random.default_rng(0)
     B = args.batch
-    k = (rng.standard_normal((B, 1, shape, shape))
-         + 1j * rng.standard_normal((B, 1, shape, shape))).astype(np.complex64)
-    pruned = make_mask("equispaced", shape, sparsity, seed=0).pruned
-    mask = jnp.asarray(~pruned)
-    ref = np.abs(rng.standard_normal((B, 1, shape, shape))).astype(np.float32)
 
-    params = jax.eval_shape(
-        lambda r: net.init(r, jnp.asarray(k), mask, jnp.asarray(ref), num_low),
-        jax.random.PRNGKey(0),
-    )
-    params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), params
-    )
-    fn = jax.jit(lambda p, kk, m, r: net.apply(p, kk, m, r, num_low))
-    text = fn.lower(
-        params, jnp.asarray(k), mask, jnp.asarray(ref)
-    ).compile().as_text()
+    if args.mode == "train":
+        from spatialalignmentnetwork_tpu.engine.config import Config
+        from spatialalignmentnetwork_tpu.engine.csmodel import CSModel
+
+        cfg = Config(sparsity=sparsity, lr=1e-4, shape=shape, coils=1,
+                     reg=args.reg, mask="equispaced", weight_smooth=1000.0,
+                     weight_gan=0.1, weight_gan_sim=1.0, weight_sim=1.0,
+                     use_amp=True)
+        net = CSModel(cfg=cfg)
+        mk = lambda s: (rng.standard_normal((B, 1, shape, shape))
+                        + 1j * rng.standard_normal((B, 1, shape, shape))
+                        ).astype(np.complex64)
+        net.set_input(mk(0), mk(1))
+        step = net._make_train_step(args.reg, net._batch[0].shape)
+        text = step.lower(
+            net.state, *net._batch, jax.random.PRNGKey(0)
+        ).compile().as_text()
+    else:
+        num_low = int(shape * sparsity * 0.32)
+        net = VarNet(num_cascades=8, sens_chans=8, sens_pools=4, chans=18,
+                     pools=4, use_ref=True, dtype=jnp.bfloat16)
+        k = (rng.standard_normal((B, 1, shape, shape))
+             + 1j * rng.standard_normal((B, 1, shape, shape))
+             ).astype(np.complex64)
+        pruned = make_mask("equispaced", shape, sparsity, seed=0).pruned
+        mask = jnp.asarray(~pruned)
+        ref = np.abs(
+            rng.standard_normal((B, 1, shape, shape))).astype(np.float32)
+
+        params = jax.eval_shape(
+            lambda r: net.init(r, jnp.asarray(k), mask, jnp.asarray(ref),
+                               num_low),
+            jax.random.PRNGKey(0),
+        )
+        params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), params
+        )
+        fn = jax.jit(lambda p, kk, m, r: net.apply(p, kk, m, r, num_low))
+        text = fn.lower(
+            params, jnp.asarray(k), mask, jnp.asarray(ref)
+        ).compile().as_text()
 
     body_names = set(re.findall(r"body=%?([\w.\-]+)", text))
 
@@ -170,7 +197,9 @@ def main():
         args.bw_gbps * 1e9) * 1e3
 
     out = {
-        "metric": f"serving_sol_accounting_b{B}",
+        "metric": (f"train_{args.reg}_sol_accounting_b{B}"
+                   if args.mode == "train"
+                   else f"serving_sol_accounting_b{B}"),
         "platform": jax.devices()[0].platform,
         "bw_gbps": args.bw_gbps,
         "trip": args.trip,
