@@ -224,7 +224,10 @@ def per_network_train_report(args):
         return jnp.mean(out)
 
     def r_loss(pR, kk):
-        return jnp.mean(jnp.abs(net._forward_R(pR, kk, pruned, img)))
+        # train=True: measure the layout the train step actually runs
+        # (s2d at bf16 since round 5 — csmodel.build s2d_train)
+        return jnp.mean(jnp.abs(net._forward_R(pR, kk, pruned, img,
+                                               train=True)))
 
     d_in = jnp.concatenate([img, img2], axis=1)
 

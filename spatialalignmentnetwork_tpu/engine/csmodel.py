@@ -208,6 +208,37 @@ class CSModel:
             dtype=self.dtype,
         )
 
+        # TRAIN-path execution layout for net_R: the same parameter tree
+        # applied through an s2d VarNet (apply-equivalent, f64-exact —
+        # tests/test_s2d.py). Training at b16 is MXU-bound on the 18-ch
+        # 320^2 convs (measured 9.2 TF/s fwd / 5.2 wgrad vs 88-94 TF/s for
+        # the 64-ch 160^2 shape, docs/perf_ab_r05 probes), where serving
+        # at b128 is bandwidth-bound — so the two paths want OPPOSITE s2d
+        # settings. auto -> 1 when use_amp (the bf16 perf path; measured
+        # b16 Mixed 1.203 -> 1.471 steps/s, +22%), 0 at f32 (the
+        # exactness/parity path keeps the reference op order).
+        s2d_train = _parse_level_lever(
+            "net_R_s2d_train/SAN_TPU_S2D_TRAIN",
+            cfg.get("net_R_s2d_train",
+                    _os.environ.get("SAN_TPU_S2D_TRAIN", "auto")),
+            auto=(1 if use_amp else 0),
+        )
+        if s2d_train == s2d:
+            self.net_R_train = self.net_R
+        else:
+            self.net_R_train = VarNet(
+                num_cascades=cfg.get("net_R_cascades", 8),
+                sens_chans=cfg.get("net_R_sens_chans", 8),
+                sens_pools=cfg.get("net_R_sens_pools", 4),
+                chans=cfg.get("net_R_chans", 18),
+                pools=cfg.get("net_R_pools", 4),
+                use_ref=True,
+                planar=planar,
+                s2d_levels=s2d_train,
+                remat=bool(cfg.get("net_R_remat", True)),
+                dtype=self.dtype,
+            )
+
         self.mask = masks_lib.make_mask(
             cfg.mask, shape, cfg.get("sparsity"), seed=self.seed
         )
@@ -341,9 +372,13 @@ class CSModel:
             return out, upd["batch_stats"]
         return self.net_D.apply(variables, x, train=False), stats
 
-    def _forward_R(self, params_R, k_sampled, pruned, img_warped):
+    def _forward_R(self, params_R, k_sampled, pruned, img_warped,
+                   train=False):
         mask_bool = jnp.logical_not(pruned)[None, None, None, :]
-        return self.net_R.apply(
+        # train picks the s2d execution layout (same params, see build);
+        # eval/serving keep the plain layout the b128 serving bench chose
+        net = self.net_R_train if train else self.net_R
+        return net.apply(
             {"params": params_R}, k_sampled, mask_bool, img_warped,
             self.num_low_frequencies,
         )
@@ -431,7 +466,7 @@ class CSModel:
         if with_R:
             img_rec = self._forward_R(
                 params["net_R"], env["img_k_sampled"], env["pruned"],
-                img_warped,
+                img_warped, train=train,
             )
             losses["loss_sim"] = ssimloss(env["img_full_rss"], img_rec)
             imgs["img_rec"] = img_rec

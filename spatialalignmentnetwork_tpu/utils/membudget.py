@@ -43,6 +43,11 @@ def flagship_cfg(reg="Mixed"):
     cfg.weight_gan = 0.1
     cfg.weight_gan_sim = 1.0
     cfg.weight_sim = 1.0
+    # bf16, like the production train/serving steps (bench.py --dtype
+    # default): the round-4 on-chip OOM was the bf16 b32 step, so the
+    # guard must compile the same dtype path — which since round 5 also
+    # selects the s2d train layout (csmodel.build s2d_train auto).
+    cfg.use_amp = True
     return cfg
 
 

@@ -587,3 +587,45 @@ def test_remat_tg_lever_is_value_neutral(monkeypatch):
     net.set_input(full, aux)
     with pytest.raises(ValueError, match="SAN_TPU_REMAT_TG"):
         net.update()
+
+
+def test_s2d_train_layout_matches_plain_step():
+    """The round-5 train-path s2d default (csmodel.build s2d_train):
+    a Mixed step through the s2d net_R layout must produce the same
+    losses and near-identical updated params as the plain layout — the
+    two are the SAME function of the SAME parameter tree, re-tiled
+    (models/s2d.py; f64-exact equivalence in tests/test_s2d.py)."""
+    full, aux = _batch()
+
+    def run(s2d_train):
+        cfg = tiny_cfg("Mixed")
+        cfg.net_R_s2d_train = s2d_train
+        net = CSModel(cfg=cfg, seed=3)
+        net.set_input(full, aux)
+        net.update()
+        scal = net.get_vis("scalars")["scalars"]
+        return net.state["params"], scal
+
+    p_plain, s_plain = run(0)
+    p_s2d, s_s2d = run(1)
+    # the s2d module must actually differ (lever plumbed, not ignored)
+    assert CSModel(cfg=tiny_cfg("Mixed")).net_R_train is not None
+    for k in ("loss_all", "loss_sim", "loss_gan_sim"):
+        assert np.isfinite(s_s2d[k])
+        np.testing.assert_allclose(s_s2d[k], s_plain[k], rtol=2e-4,
+                                   atol=2e-5, err_msg=k)
+    for a, b in zip(jax.tree_util.tree_leaves(p_s2d),
+                    jax.tree_util.tree_leaves(p_plain)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-3, atol=5e-5)
+
+
+def test_s2d_train_default_follows_amp():
+    """auto: s2d_train=1 at use_amp (bf16 perf path), 0 at f32 (the
+    exactness path keeps the reference op order)."""
+    cfg = tiny_cfg("Rec")
+    assert CSModel(cfg=cfg).net_R_train.s2d_levels == 0
+    cfg2 = tiny_cfg("Rec")
+    cfg2.use_amp = True
+    assert CSModel(cfg=cfg2).net_R_train.s2d_levels == 1

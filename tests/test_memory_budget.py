@@ -14,12 +14,15 @@ step's materialization set grew; re-measure on the real chip
 (`python -m spatialalignmentnetwork_tpu.utils.membudget --kind train
 --batch 32`) before raising any budget.
 
-Calibrated on XLA:CPU (jax 0.8.x, 2026-08-19, round 5, via
-`python -m spatialalignmentnetwork_tpu.utils.membudget --platform cpu`):
-  serving b128:      temp 10.30 GiB
-  train Mixed b16:   temp 18.56 GiB   (SAN_TPU_REMAT_TG auto -> off)
-  train Mixed b32:   temp 36.63 GiB   (SAN_TPU_REMAT_TG auto -> on)
-On-TPU ground truth the same day: b32 Mixed COMPILES AND TRAINS at HEAD
+Calibrated on XLA:CPU (jax 0.8.x, 2026-08-20, round 5, via
+`python -m spatialalignmentnetwork_tpu.utils.membudget --platform cpu`) —
+the flagship cfg is now bf16 (use_amp=True, like the production steps and
+the round-4 on-chip OOM), which also engages the round-5 s2d train
+layout (csmodel.build s2d_train auto):
+  serving b128:      temp 11.92 GiB   (f32 calibration was 10.30)
+  train Mixed b16:   temp 18.68 GiB   (SAN_TPU_REMAT_TG auto -> off)
+  train Mixed b32:   temp 36.92 GiB   (SAN_TPU_REMAT_TG auto -> on)
+On-TPU ground truth 2026-08-19: b32 Mixed COMPILES AND TRAINS at HEAD
 (0.61 steps/s, docs/perf_ab_r05.jsonl) — the round-4 OOM config.
 """
 
@@ -34,7 +37,7 @@ GIB = 1 << 30
 # (kind, batch, temp-bytes budget). Budget = calibrated + ~15%; see the
 # module docstring before touching these.
 BUDGETS = [
-    ("serving", 128, 12.0 * GIB),
+    ("serving", 128, 13.7 * GIB),
     ("train", 16, 21.5 * GIB),
     ("train", 32, 42.0 * GIB),
 ]
